@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import tiny_configs, synth_batch
+from ctts_tpu.models.comp_trans_tts import CompTransTTS
+from ctts_tpu.models.loss import compute_loss
+
+
+def _init_and_apply(pre, mod, tr, batch, mode, step=10):
+    model = CompTransTTS(pre, mod, tr)
+    rng = jax.random.PRNGKey(0)
+    kwargs = dict(
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], mode=mode,
+        mels=batch["mels"], mel_lens=batch["mel_lens"],
+        pitch_targets=batch["pitch_data"], energy_targets=batch["energies"],
+        duration_targets=batch["durations"],
+        attn_priors=batch["attn_priors"] if mode == "train_unsup" else None,
+        step=jnp.asarray(step), deterministic=True)
+    if mode == "infer":
+        kwargs.update(mels=None, mel_lens=None, pitch_targets=None,
+                      energy_targets=None, duration_targets=None,
+                      attn_priors=None, max_mel_len=96)
+    variables = model.init({"params": rng}, **kwargs)
+    out, _ = model.apply(variables, mutable=["batch_stats"], **kwargs)
+    return model, variables, out, kwargs
+
+
+def test_forward_train_unsup_shapes():
+    pre, mod, tr = tiny_configs()
+    batch = synth_batch()
+    _, _, out, _ = _init_and_apply(pre, mod, tr, batch, "train_unsup")
+    B, T_m, _ = batch["mels"].shape
+    assert out["mel_predictions"].shape == (B, T_m, 80)
+    assert out["postnet_mel_predictions"].shape == (B, T_m, 80)
+    assert out["log_duration_predictions"].shape == batch["texts"].shape
+    attn_soft, attn_hard, attn_hard_dur, attn_logprob = out["attn_outs"]
+    assert attn_soft.shape == (B, T_m, batch["texts"].shape[1])
+    # hard durations sum to mel lengths
+    np.testing.assert_array_equal(
+        np.asarray(attn_hard_dur.sum(-1)), np.asarray(batch["mel_lens"]))
+    assert out["pitch_predictions"]["cwt"].shape == (B, T_m, 11)
+    assert not np.any(np.isnan(np.asarray(out["mel_predictions"])))
+
+
+def test_forward_train_sup_shapes():
+    pre, mod, tr = tiny_configs(learn_alignment=False, pitch_type="frame")
+    batch = synth_batch(sup=True)
+    # sup phoneme-level energy arrives at phone level; use frame level here
+    pre["preprocessing"]["energy"]["feature"] = "frame_level"
+    _, _, out, _ = _init_and_apply(pre, mod, tr, batch, "train_sup")
+    assert out["pitch_predictions"]["pitch_pred"].shape == (
+        *batch["mels"].shape[:2], 2)
+    assert not np.any(np.isnan(np.asarray(out["mel_predictions"])))
+
+
+def test_forward_infer():
+    pre, mod, tr = tiny_configs()
+    batch = synth_batch()
+    _, _, out, _ = _init_and_apply(pre, mod, tr, batch, "infer")
+    B = batch["texts"].shape[0]
+    assert out["mel_predictions"].shape == (B, 96, 80)
+    assert out["mel_lens"].shape == (B,)
+    assert np.all(np.asarray(out["mel_lens"]) <= 96)
+    assert not np.any(np.isnan(np.asarray(out["mel_predictions"])))
+
+
+def test_loss_and_grads():
+    pre, mod, tr = tiny_configs()
+    batch = synth_batch()
+    model, variables, out, kwargs = _init_and_apply(pre, mod, tr, batch,
+                                                    "train_unsup")
+
+    def loss_fn(params):
+        outputs, _ = model.apply(
+            {"params": params, **{k: v for k, v in variables.items()
+                                  if k != "params"}},
+            mutable=["batch_stats"], **kwargs)
+        total, comps = compute_loss(batch, outputs, kwargs["step"], pre, mod,
+                                    tr)
+        return total, comps
+
+    (total, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(total)), comps
+    for k, v in comps.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    leaf_norms = jax.tree.map(lambda g: float(jnp.sum(jnp.abs(g))), grads)
+    flat = jax.tree.leaves(leaf_norms)
+    assert all(np.isfinite(f) for f in flat)
+    # something nontrivial flows
+    assert sum(flat) > 0
+
+
+def test_loss_var_gate():
+    pre, mod, tr = tiny_configs()
+    batch = synth_batch()
+    model, variables, out, kwargs = _init_and_apply(pre, mod, tr, batch,
+                                                    "train_unsup", step=10)
+    total_lo, comps_lo = compute_loss(batch, out, jnp.asarray(10), pre, mod,
+                                      tr)
+    # pre-var_start: variance losses are zeroed
+    assert float(comps_lo["pdur"]) == 0.0
+    assert float(comps_lo["pitch_C"]) == 0.0
+    total_hi, comps_hi = compute_loss(batch, out, jnp.asarray(60001), pre,
+                                      mod, tr)
+    assert float(comps_hi["pdur"]) > 0.0
+
+
+def test_duration_control():
+    pre, mod, tr = tiny_configs()
+    batch = synth_batch()
+    model, variables, _, kwargs = _init_and_apply(pre, mod, tr, batch,
+                                                  "infer")
+    out1, _ = model.apply(variables, mutable=["batch_stats"], **kwargs)
+    kwargs2 = dict(kwargs, d_control=2.0)
+    out2, _ = model.apply(variables, mutable=["batch_stats"], **kwargs2)
+    assert np.asarray(out2["mel_lens"]).sum() >= \
+        np.asarray(out1["mel_lens"]).sum()

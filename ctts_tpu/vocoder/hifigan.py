@@ -1,0 +1,165 @@
+"""HiFi-GAN V1 generator in JAX/flax ([B, T, C] layout).
+
+Architecture parity with the reference generator (hifigan/models.py:20-112,
+hifigan/config.json): conv_pre(k7) → 4×[transposed-conv upsample
+(k 16/16/4/4, stride 8/8/2/2) + MRF of 3 ResBlocks (k 3/7/11, d 1/3/5)] →
+leaky_relu → conv_post(k7) → tanh. Weight-norm is already folded at load
+time (utils/model.py:57-69 removes it), so plain convs match exactly.
+
+``load_torch_generator`` ports a reference `generator_*.pth.tar` state dict
+into this module's parameter tree for bit-level output parity.
+"""
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+V1_CONFIG = {
+    "upsample_rates": (8, 8, 2, 2),
+    "upsample_kernel_sizes": (16, 16, 4, 4),
+    "upsample_initial_channel": 512,
+    "resblock_kernel_sizes": (3, 7, 11),
+    "resblock_dilation_sizes": ((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    "num_mels": 80,
+}
+
+
+class _Conv(nn.Module):
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, d = self.kernel_size, self.dilation
+        pad = d * (k - 1) // 2
+        return nn.Conv(self.features, (k,), kernel_dilation=(d,),
+                       padding=[(pad, d * (k - 1) - pad)],
+                       dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+
+class _ConvTranspose(nn.Module):
+    """Matches torch ConvTranspose1d(k, stride=u, padding=(k-u)//2)."""
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, u = self.kernel_size, self.stride
+        pad = (k - u) // 2
+        y = nn.ConvTranspose(self.features, (k,), strides=(u,),
+                             padding="VALID", dtype=self.dtype,
+                             param_dtype=jnp.float32,
+                             transpose_kernel=True)(x)
+        # VALID length = (T-1)·u + k; torch crops `pad` from both sides
+        return y[:, pad: y.shape[1] - (k - u - pad), :]
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block (hifigan/models.py ResBlock1)."""
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = _Conv(self.channels, self.kernel_size, d,
+                       dtype=self.dtype, name=f"convs1_{i}")(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = _Conv(self.channels, self.kernel_size, 1,
+                       dtype=self.dtype, name=f"convs2_{i}")(xt)
+            x = x + xt
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    config: dict = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: [B, T, n_mel] (log-mel) → wav [B, T·256]."""
+        cfg = self.config or V1_CONFIG
+        ch = cfg["upsample_initial_channel"]
+        x = _Conv(ch, 7, dtype=self.dtype, name="conv_pre")(
+            mel.astype(self.dtype))
+        rk = cfg["resblock_kernel_sizes"]
+        rd = cfg["resblock_dilation_sizes"]
+        for i, (u, k) in enumerate(zip(cfg["upsample_rates"],
+                                       cfg["upsample_kernel_sizes"])):
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            ch = ch // 2
+            x = _ConvTranspose(ch, k, u, dtype=self.dtype,
+                               name=f"ups_{i}")(x)
+            acc = None
+            for j, (rks, rds) in enumerate(zip(rk, rd)):
+                y = ResBlock1(ch, rks, rds, dtype=self.dtype,
+                              name=f"resblocks_{i * len(rk) + j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / len(rk)
+        # final activation uses torch's default slope 0.01
+        # (hifigan/models.py:161)
+        x = nn.leaky_relu(x, 0.01)
+        x = _Conv(1, 7, dtype=self.dtype, name="conv_post")(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
+
+
+def load_torch_generator(path):
+    """Port a reference HiFi-GAN checkpoint (dict with key "generator",
+    weight-norm folded) into flax params. Returns (params, config)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt["generator"] if "generator" in ckpt else ckpt
+    sd = {k: v.numpy() for k, v in sd.items()}
+
+    def fold_wn(prefix):
+        """weight_g/weight_v → weight if weight-norm wasn't removed."""
+        if prefix + ".weight" in sd:
+            return sd[prefix + ".weight"]
+        g = sd[prefix + ".weight_g"]
+        v = sd[prefix + ".weight_v"]
+        norm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
+        return g * v / norm
+
+    def conv_w(prefix):
+        # torch [out, in, k] → flax [k, in, out]
+        return np.transpose(fold_wn(prefix), (2, 1, 0))
+
+    def convT_w(prefix):
+        # torch convT [in, out, k] → flax transpose_kernel=True wants
+        # [k, out, in]  (flipped spatially is handled by transpose conv
+        # definition parity: torch convT cross-correlates with the kernel
+        # as-is, which equals flax transpose_kernel=True)
+        return np.transpose(fold_wn(prefix), (2, 1, 0))
+
+    params = {}
+    params["conv_pre"] = {"Conv_0": {
+        "kernel": conv_w("conv_pre"), "bias": sd["conv_pre.bias"]}}
+    n_ups = len(V1_CONFIG["upsample_rates"])
+    for i in range(n_ups):
+        params[f"ups_{i}"] = {"ConvTranspose_0": {
+            "kernel": convT_w(f"ups.{i}"), "bias": sd[f"ups.{i}.bias"]}}
+    n_res = len(V1_CONFIG["resblock_kernel_sizes"])
+    for r in range(n_ups * n_res):
+        blk = {}
+        for j in range(3):
+            blk[f"convs1_{j}"] = {"Conv_0": {
+                "kernel": conv_w(f"resblocks.{r}.convs1.{j}"),
+                "bias": sd[f"resblocks.{r}.convs1.{j}.bias"]}}
+            blk[f"convs2_{j}"] = {"Conv_0": {
+                "kernel": conv_w(f"resblocks.{r}.convs2.{j}"),
+                "bias": sd[f"resblocks.{r}.convs2.{j}.bias"]}}
+        params[f"resblocks_{r}"] = blk
+    params["conv_post"] = {"Conv_0": {
+        "kernel": conv_w("conv_post"), "bias": sd["conv_post.bias"]}}
+    return {"params": params}, dict(V1_CONFIG)

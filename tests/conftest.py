@@ -1,13 +1,21 @@
 """Test env: force CPU backend with 8 virtual devices so sharding/mesh tests
-run anywhere (the TPU-native analogue of a fake multi-node backend)."""
+run anywhere (the TPU-native analogue of a fake multi-node backend).
+
+The axon sitecustomize registers the TPU platform at interpreter start and
+sets jax_platforms itself, so overriding the env var is not enough — we
+update jax.config before any backend is initialized.
+"""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

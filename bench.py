@@ -6,6 +6,11 @@ wall clock). Baseline target: ≥50× real time per chip (BASELINE.json
 north_star).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The acoustic model and vocoder are jitted separately (one fused graph
+compiles slower through the remote-compile path with no runtime win — both
+stages are already device-bound), and a persistent compilation cache under
+.cache/jax makes repeat runs start fast.
 """
 
 import json
@@ -13,11 +18,16 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".cache", "jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -26,7 +36,8 @@ def main():
                                                 prepare_model_config)
     from ctts_tpu.vocoder.hifigan import HiFiGANGenerator, V1_CONFIG
 
-    B, T_s, T_m = int(os.environ.get("BENCH_B", 16)), 128, 1024
+    B = int(os.environ.get("BENCH_B", 16))
+    T_s, T_m = 128, 1024
     HOP, SR = 256, 22050
 
     preprocess, model_cfg, train_cfg = get_configs_of("LJSpeech")
@@ -46,38 +57,44 @@ def main():
                             jnp.zeros((1, 16, 80), jnp.float32))
 
     @jax.jit
-    def synthesize(am_params, voc_params, texts, src_lens, speakers):
+    def acoustic(params, texts, src_lens, speakers):
         out = model.apply(
-            {"params": am_params,
+            {"params": params,
              "batch_stats": am_vars.get("batch_stats", {})},
             speakers=speakers, texts=texts, src_lens=src_lens, mode="infer",
             max_mel_len=T_m, deterministic=True)
-        mel = out["postnet_mel_predictions"]
-        wav = vocoder.apply(voc_params, mel)
-        return wav, out["mel_lens"]
+        return out["postnet_mel_predictions"], out["mel_lens"]
 
-    args = (am_vars["params"], voc_vars, texts, src_lens, speakers)
+    @jax.jit
+    def vocode(voc_params, mel):
+        wav = vocoder.apply(voc_params, mel)
+        return wav, wav[:, ::4096].sum()      # cheap probe to force compute
+
     # warmup / compile
-    wav, mel_lens = jax.block_until_ready(synthesize(*args))
+    mel, mel_lens = acoustic(am_vars["params"], texts, src_lens, speakers)
+    wav, probe = vocode(voc_vars, mel)
+    _ = float(probe) + float(mel_lens.sum())
 
     iters = int(os.environ.get("BENCH_ITERS", 10))
     t0 = time.perf_counter()
+    total_frames = 0
     for _ in range(iters):
-        wav, mel_lens = synthesize(*args)
-    jax.block_until_ready((wav, mel_lens))
+        mel, mel_lens = acoustic(am_vars["params"], texts, src_lens, speakers)
+        wav, probe = vocode(voc_vars, mel)
+        total_frames += float(mel_lens.sum())
+        _ = float(probe)                      # forces full pipeline each iter
     dt = time.perf_counter() - t0
 
-    audio_seconds = float(jnp.sum(mel_lens)) * HOP / SR * iters
+    audio_seconds = total_frames * HOP / SR
     rtx = audio_seconds / dt
-    frames_per_sec = float(jnp.sum(mel_lens)) * iters / dt
-
     print(json.dumps({
         "metric": "batch_synthesis_xrealtime",
-        "value": round(rtx, 2),
+        "value": round(rtx, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtx / 50.0, 3),
         "detail": {
-            "batch": B, "mel_frames_per_sec": round(frames_per_sec),
+            "batch": B,
+            "mel_frames_per_sec": round(total_frames / dt),
             "wall_s_per_batch": round(dt / iters, 4),
             "audio_s_per_batch": round(audio_seconds / iters, 2),
         },

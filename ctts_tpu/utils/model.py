@@ -1,0 +1,95 @@
+"""Model/vocoder factory helpers (reference surface: utils/model.py:11-92)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_model(args_restore_step, configs, train=False):
+    """Build CompTransTTS (+optimizer when train=True) and restore weights.
+    Returns (model, state_or_variables)."""
+    from ctts_tpu.models.comp_trans_tts import (CompTransTTS,
+                                                prepare_model_config)
+    from ctts_tpu.parallel.train_step import create_train_state
+    from ctts_tpu.utils.checkpoint import restore_checkpoint
+    from ctts_tpu.utils.optimizer import build_optimizer
+    from ctts_tpu.models.registry import block_hidden
+
+    preprocess_config, model_config, train_config = configs
+    model_config = prepare_model_config(preprocess_config, model_config)
+    model = CompTransTTS(preprocess_config, model_config, train_config)
+
+    # template init on tiny shapes (cheap; real shapes come at apply time)
+    B, T_s, T_m = 1, 16, 64
+    kwargs = dict(
+        speakers=jnp.zeros((B,), jnp.int32),
+        texts=jnp.ones((B, T_s), jnp.int32),
+        src_lens=jnp.full((B,), T_s, jnp.int32),
+        mode="infer", max_mel_len=T_m, deterministic=True)
+    if model_config["multi_speaker"] and \
+            preprocess_config["preprocessing"].get(
+                "speaker_embedder", "none") != "none":
+        kwargs["spker_embeds"] = jnp.zeros(
+            (B, model_config["external_speaker_dim"]), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **kwargs)
+
+    enc_h, _ = block_hidden(model_config)
+    tx, _ = build_optimizer(model_config, train_config, d_model=enc_h)
+    state = create_train_state(variables, tx)
+    if args_restore_step:
+        state, _ = restore_checkpoint(
+            train_config["path"]["ckpt_path"], state, args_restore_step)
+    if train:
+        return model, state, tx
+    return model, {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def get_vocoder(model_config, ckpt_dir="ckpt"):
+    """Load the configured vocoder (HiFi-GAN / MelGAN). Weights are external
+    downloads like the reference (utils/model.py:57-69); without a weight
+    file a griffin-lim fallback is returned."""
+    from ctts_tpu.vocoder.hifigan import (HiFiGANGenerator, V1_CONFIG,
+                                          load_torch_generator)
+    name = model_config["vocoder"]["model"]
+    speaker = model_config["vocoder"]["speaker"]
+    if name == "HiFi-GAN":
+        path = os.path.join(ckpt_dir, "hifigan",
+                            f"generator_{speaker}.pth.tar")
+        model = HiFiGANGenerator(dict(V1_CONFIG), dtype=jnp.bfloat16)
+        if os.path.exists(path):
+            variables, _ = load_torch_generator(path)
+            return ("HiFi-GAN", model, variables)
+        return ("griffin_lim", None, None)
+    if name == "MelGAN":
+        from ctts_tpu.vocoder.melgan import MelGANGenerator, load_torch_melgan
+        path = os.path.join(ckpt_dir, "melgan", f"melgan_{speaker}.pt")
+        model = MelGANGenerator(dtype=jnp.bfloat16)
+        if os.path.exists(path):
+            return ("MelGAN", model, load_torch_melgan(path))
+        return ("griffin_lim", None, None)
+    raise ValueError(f"unknown vocoder {name}")
+
+
+def vocoder_infer(mels, vocoder_tuple, preprocess_config, lengths=None):
+    """mels [B, T, n_mel] (log) → list of int16 wavs
+    (reference utils/model.py:74-92)."""
+    name, model, variables = vocoder_tuple
+    max_wav_value = preprocess_config["preprocessing"]["audio"]["max_wav_value"]
+    hop = preprocess_config["preprocessing"]["stft"]["hop_length"]
+    if name == "HiFi-GAN":
+        wavs = np.asarray(model.apply(variables, jnp.asarray(mels)))
+    elif name == "MelGAN":
+        wavs = np.asarray(model.apply(variables,
+                                      jnp.asarray(mels) / np.log(10)))
+    else:  # griffin-lim from approximate mel inversion
+        from ctts_tpu.audio.tools import inv_mel_spec_batch
+        wavs = inv_mel_spec_batch(np.asarray(mels), preprocess_config)
+    wavs = (wavs * max_wav_value).clip(-max_wav_value,
+                                       max_wav_value - 1).astype(np.int16)
+    out = []
+    for i in range(len(wavs)):
+        n = int(lengths[i]) * hop if lengths is not None else wavs.shape[1]
+        out.append(wavs[i, :n])
+    return out

@@ -1,0 +1,179 @@
+"""Training CLI (reference surface: train.py --dataset D --restore_step N).
+
+Single-controller JAX replaces the reference's mp.spawn/DDP/NCCL runtime
+(train.py:27-58, 251-252): one process drives a ('data','model') mesh, XLA
+inserts the gradient all-reduce, bf16 compute replaces AMP, and the whole
+train step (model fwd/bwd + MAS + losses + optimizer) is ONE compiled
+function per batch bucket.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", type=str, required=True,
+                        help="name of dataset (configs/<dataset>.yaml)")
+    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="override total_step (smoke runs)")
+    parser.add_argument("--config_dir", type=str, default=None)
+    args = parser.parse_args()
+
+    from ctts_tpu.config import get_configs_of
+    from ctts_tpu.data.dataset import Dataset
+    from ctts_tpu.models.comp_trans_tts import (CompTransTTS,
+                                                prepare_model_config)
+    from ctts_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from ctts_tpu.parallel.train_step import (create_train_state,
+                                              make_eval_step, make_train_step)
+    from ctts_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+    from ctts_tpu.utils.logging import Logger
+    from ctts_tpu.utils.optimizer import build_optimizer
+    from ctts_tpu.models.registry import block_hidden
+
+    preprocess_config, model_config, train_config = get_configs_of(
+        args.dataset, args.config_dir)
+    model_config = prepare_model_config(preprocess_config, model_config)
+
+    learn_alignment = model_config["duration_modeling"]["learn_alignment"]
+    mode = "train_unsup" if learn_alignment else "train_sup"
+    tag = "unsup" if learn_alignment else "sup"
+
+    train_set = Dataset(f"train_{tag}.txt", preprocess_config, model_config,
+                        train_config, sort=True, drop_last=True)
+    val_set = Dataset(f"val_{tag}.txt", preprocess_config, model_config,
+                      train_config, sort=False, drop_last=False)
+
+    mesh_cfg = train_config.get("mesh", {"data": -1, "model": 1})
+    mesh = make_mesh(mesh_cfg.get("data", -1), mesh_cfg.get("model", 1))
+
+    model = CompTransTTS(preprocess_config, model_config, train_config)
+    enc_h, _ = block_hidden(model_config)
+    tx, schedule = build_optimizer(model_config, train_config, d_model=enc_h)
+
+    # init from the first batch's shapes
+    first = next(train_set.batches(shuffle=False))
+    init_kwargs = _model_kwargs(first, mode)
+    variables = model.init({"params": jax.random.PRNGKey(
+        train_config["seed"])}, **init_kwargs, step=jnp.zeros((), jnp.int32),
+        deterministic=True)
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    print(f"CompTransTTS: {n_params/1e6:.2f}M params | mesh {mesh.shape} | "
+          f"block={model_config['block_type']} mode={mode} "
+          f"prosody={model_config['prosody_modeling']['model_type']} "
+          f"pitch={preprocess_config['preprocessing']['pitch']['pitch_type']}")
+
+    with mesh:
+        variables = shard_params(variables, mesh)
+        state = create_train_state(variables, tx)
+        ckpt_dir = train_config["path"]["ckpt_path"]
+        if args.restore_step:
+            state, restored = restore_checkpoint(ckpt_dir, state,
+                                                 args.restore_step)
+            print(f"restored checkpoint at step {restored}")
+
+        train_step = make_train_step(model, tx, preprocess_config,
+                                     model_config, train_config, mode)
+        eval_step = make_eval_step(model, preprocess_config, model_config,
+                                   train_config, mode)
+
+        log_path = train_config["path"]["log_path"]
+        train_logger = Logger(log_path, "train")
+        val_logger = Logger(log_path, "val")
+
+        total_step = args.max_steps or train_config["step"]["total_step"]
+        log_step = train_config["step"]["log_step"]
+        val_step = train_config["step"]["val_step"]
+        save_step = train_config["step"]["save_step"]
+        rng = jax.random.PRNGKey(train_config["seed"])
+
+        step = int(state.step)
+        epoch = 0
+        t_last = time.time()
+        done = False
+        while not done:
+            for batch in train_set.batches(epoch=epoch,
+                                           seed=train_config["seed"]):
+                batch = shard_batch(_device_batch(batch), mesh)
+                state, metrics = train_step(state, batch, rng)
+                step = int(state.step)
+
+                if step % log_step == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    lr = float(schedule(jnp.asarray(step)))
+                    dt = (time.time() - t_last) / log_step
+                    t_last = time.time()
+                    metrics["s_per_step"] = dt
+                    train_logger.scalars(step, metrics, lr=lr)
+                    print(f"step {step}: total={metrics['total']:.4f} "
+                          f"mel={metrics['mel']:.4f} lr={lr:.2e} "
+                          f"{dt*1000:.0f}ms/step")
+
+                if step % val_step == 0:
+                    _validate(val_set, state, eval_step, mesh, val_logger,
+                              step)
+                if step % save_step == 0:
+                    save_checkpoint(ckpt_dir, jax.device_get(state), step)
+                    print(f"saved checkpoint @ {step}")
+                if step >= total_step:
+                    done = True
+                    break
+            epoch += 1
+        save_checkpoint(ckpt_dir, jax.device_get(state), step)
+        train_logger.close()
+        val_logger.close()
+
+
+def _model_kwargs(batch, mode):
+    return dict(
+        speakers=jnp.asarray(batch["speakers"]),
+        texts=jnp.asarray(batch["texts"]),
+        src_lens=jnp.asarray(batch["src_lens"]),
+        mode=mode,
+        mels=jnp.asarray(batch["mels"]),
+        mel_lens=jnp.asarray(batch["mel_lens"]),
+        pitch_targets={k: jnp.asarray(v)
+                       for k, v in batch["pitch_data"].items()},
+        energy_targets=jnp.asarray(batch["energies"]),
+        duration_targets=(jnp.asarray(batch["durations"])
+                          if batch["durations"] is not None else None),
+        attn_priors=(jnp.asarray(batch["attn_priors"])
+                     if batch["attn_priors"] is not None else None),
+        spker_embeds=(jnp.asarray(batch["spker_embeds"])
+                      if batch["spker_embeds"] is not None else None),
+    )
+
+
+def _device_batch(batch):
+    return {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
+
+
+def _validate(val_set, state, eval_step, mesh, logger, step):
+    from ctts_tpu.parallel.mesh import shard_batch
+    sums, count = {}, 0
+    for batch in val_set.batches(shuffle=False, group_size=1):
+        n = len(batch["ids"])
+        db = shard_batch(_device_batch(batch), mesh)
+        comps, _ = eval_step(state, db)
+        for k, v in comps.items():
+            sums[k] = sums.get(k, 0.0) + float(v) * n
+        count += n
+    if count:
+        means = {k: v / count for k, v in sums.items()}
+        logger.scalars(step, means)
+        print(f"  val @ {step}: " + ", ".join(
+            f"{k}={v:.4f}" for k, v in list(means.items())[:4]))
+
+
+if __name__ == "__main__":
+    main()

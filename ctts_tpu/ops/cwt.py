@@ -64,7 +64,8 @@ def inverse_cwt(Wavelet_lf0, num_scales=10):
     b = (jnp.arange(num_scales, dtype=jnp.float32)[None, None, :] + 1.0 + 2.5) ** (-2.5)
     rec = jnp.sum(Wavelet_lf0 * b, axis=-1)
     mean = jnp.mean(rec, axis=-1, keepdims=True)
-    std = jnp.std(rec, axis=-1, keepdims=True)
+    # torch.std default is Bessel-corrected (n-1) — match it
+    std = jnp.std(rec, axis=-1, keepdims=True, ddof=1)
     return (rec - mean) / jnp.maximum(std, 1e-8)
 
 

@@ -1,0 +1,204 @@
+"""Import reference PyTorch CompTransTTS checkpoints into flax params.
+
+Maps the reference state_dict (model/CompTransTTS.py + model/modules.py +
+model/transformers/transformer_fs2.py) onto this framework's parameter tree
+so published checkpoints (README.md:70, 900k steps) can be served directly.
+Currently covers the flagship configuration: block_type=transformer_fs2 with
+any pitch_type, frame/phoneme energy, supervised or unsupervised duration,
+single- or multi-speaker.
+"""
+
+import numpy as np
+
+
+def _t(w):
+    return np.asarray(w, np.float32)
+
+
+def _conv(w):                       # torch [out, in, k] → flax [k, in, out]
+    return _t(w).transpose(2, 1, 0)
+
+
+def _dense(w):                      # torch [out, in] → flax [in, out]
+    return _t(w).T
+
+
+def _ln(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]),
+            "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _fs2_layer(sd, p, hidden, heads):
+    """One EncSALayer (transformer_fs2.py:154-200)."""
+    dh = hidden // heads
+    in_proj = _t(sd[f"{p}.op.self_attn.in_proj_weight"])     # [3H, H]
+    q, k, v = np.split(in_proj, 3, axis=0)
+    out_w = _t(sd[f"{p}.op.self_attn.out_proj.weight"])      # [H, H]
+    return {
+        "layer_norm1": {"LayerNorm_0": _ln(sd, f"{p}.op.layer_norm1")},
+        "layer_norm2": {"LayerNorm_0": _ln(sd, f"{p}.op.layer_norm2")},
+        "self_attn": {
+            "q": {"kernel": q.T.reshape(hidden, heads, dh)},
+            "k": {"kernel": k.T.reshape(hidden, heads, dh)},
+            "v": {"kernel": v.T.reshape(hidden, heads, dh)},
+            "out": {"kernel": out_w.T.reshape(heads, dh, hidden)},
+        },
+        "ffn": {
+            "ffn_1": {"Conv_0": {
+                "kernel": _conv(sd[f"{p}.op.ffn.ffn_1.weight"]),
+                "bias": _t(sd[f"{p}.op.ffn.ffn_1.bias"])}},
+            "ffn_2": {"kernel": _dense(sd[f"{p}.op.ffn.ffn_2.weight"]),
+                      "bias": _t(sd[f"{p}.op.ffn.ffn_2.bias"])},
+        },
+    }
+
+
+def _fs2_stack(sd, prefix, n_layers, hidden, heads, out=None):
+    out = out or {}
+    for i in range(n_layers):
+        out[f"layers_{i}"] = _fs2_layer(sd, f"{prefix}.layers.{i}", hidden,
+                                        heads)
+    out["layer_norm"] = {"LayerNorm_0": _ln(sd, f"{prefix}.layer_norm")}
+    return out
+
+
+def _conv_stack(sd, prefix, n_layers):
+    """Reference predictor conv stack: Sequential(pad, conv, relu, LN, drop)
+    (modules.py:1278-1288). Flax twin: _ConvStack(conv_{i} + LayerNorm_i)."""
+    out = {}
+    for i in range(n_layers):
+        out[f"conv_{i}"] = {"Conv_0": {
+            "kernel": _conv(sd[f"{prefix}.{i}.1.weight"]),
+            "bias": _t(sd[f"{prefix}.{i}.1.bias"])}}
+        out[f"LayerNorm_{i}"] = {"LayerNorm_0": {
+            "scale": _t(sd[f"{prefix}.{i}.3.weight"]),
+            "bias": _t(sd[f"{prefix}.{i}.3.bias"])}}
+    return out
+
+
+def _pitch_predictor(sd, prefix, n_layers):
+    return {
+        "conv": _conv_stack(sd, f"{prefix}.conv", n_layers),
+        "linear": {"kernel": _dense(sd[f"{prefix}.linear.weight"]),
+                   "bias": _t(sd[f"{prefix}.linear.bias"])},
+        "pos_embed_alpha": _t(sd[f"{prefix}.pos_embed_alpha"]),
+    }
+
+
+def import_reference_checkpoint(state_dict, preprocess_config, model_config):
+    """torch state_dict → {"params": ..., "batch_stats": ...}."""
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+          for k, v in state_dict.items()}
+    assert model_config["block_type"] == "transformer_fs2", \
+        "importer currently covers transformer_fs2"
+    cfg = model_config["transformer_fs2"]
+    vp = model_config["variance_predictor"]
+    enc_h = cfg["encoder_hidden"]
+
+    params = {}
+    stats = {}
+
+    # ---- encoder ----
+    params["encoder"] = {
+        "embed_tokens": {"embedding": _t(sd["encoder.embed_tokens.weight"])},
+        "fft": _fs2_stack(sd, "encoder", cfg["encoder_layer"], enc_h,
+                          cfg["encoder_head"]),
+    }
+
+    # ---- decoder (has pos_embed_alpha) ----
+    dec = _fs2_stack(sd, "decoder", cfg["decoder_layer"],
+                     cfg["decoder_hidden"], cfg["decoder_head"])
+    dec["pos_embed_alpha"] = _t(sd["decoder.pos_embed_alpha"])
+    params["decoder"] = {"fft": dec}
+
+    # ---- mel linear & postnet ----
+    params["mel_linear"] = {"kernel": _dense(sd["mel_linear.weight"]),
+                            "bias": _t(sd["mel_linear.bias"])}
+    pn, pn_stats = {}, {}
+    for i in range(5):
+        pn[f"conv_{i}"] = {"Conv_0": {
+            "kernel": _conv(sd[f"postnet.convolutions.{i}.0.conv.weight"]),
+            "bias": _t(sd[f"postnet.convolutions.{i}.0.conv.bias"])}}
+        bnp = f"postnet.convolutions.{i}.1"
+        pn[f"bn_{i}"] = {"scale": _t(sd[f"{bnp}.weight"]),
+                         "bias": _t(sd[f"{bnp}.bias"])}
+        pn_stats[f"bn_{i}"] = {"mean": _t(sd[f"{bnp}.running_mean"]),
+                               "var": _t(sd[f"{bnp}.running_var"])}
+    params["postnet"] = pn
+    stats["postnet"] = pn_stats
+
+    # ---- variance adaptor ----
+    va = {}
+    va["duration_predictor"] = {
+        "conv": _conv_stack(sd, "variance_adaptor.duration_predictor.conv",
+                            vp["dur_predictor_layers"]),
+        "linear": {
+            "kernel": _dense(
+                sd["variance_adaptor.duration_predictor.linear.weight"]),
+            "bias": _t(sd["variance_adaptor.duration_predictor.linear.bias"])},
+    }
+    if model_config["variance_embedding"]["use_pitch_embed"]:
+        pitch_type = preprocess_config["preprocessing"]["pitch"]["pitch_type"]
+        va["pitch_embed"] = {"embedding": _t(
+            sd["variance_adaptor.pitch_embed.weight"])}
+        if pitch_type == "cwt":
+            va["cwt_in_proj"] = {
+                "kernel": _dense(sd["variance_adaptor.cwt_predictor.0.weight"]),
+                "bias": _t(sd["variance_adaptor.cwt_predictor.0.bias"])}
+            va["cwt_predictor"] = _pitch_predictor(
+                sd, "variance_adaptor.cwt_predictor.1",
+                vp["predictor_layers"])
+            va["cwt_stats_layers"] = {
+                "Dense_0": {
+                    "kernel": _dense(
+                        sd["variance_adaptor.cwt_stats_layers.0.weight"]),
+                    "bias": _t(sd["variance_adaptor.cwt_stats_layers.0.bias"])},
+                "Dense_1": {
+                    "kernel": _dense(
+                        sd["variance_adaptor.cwt_stats_layers.2.weight"]),
+                    "bias": _t(sd["variance_adaptor.cwt_stats_layers.2.bias"])},
+                "Dense_2": {
+                    "kernel": _dense(
+                        sd["variance_adaptor.cwt_stats_layers.4.weight"]),
+                    "bias": _t(sd["variance_adaptor.cwt_stats_layers.4.bias"])},
+            }
+        else:
+            va["pitch_predictor"] = _pitch_predictor(
+                sd, "variance_adaptor.pitch_predictor",
+                vp["predictor_layers"])
+    if model_config["variance_embedding"]["use_energy_embed"]:
+        va["energy_predictor"] = _pitch_predictor(
+            sd, "variance_adaptor.energy_predictor", vp["predictor_layers"])
+        va["energy_embedding"] = {"embedding": _t(
+            sd["variance_adaptor.energy_embedding.weight"])}
+    if model_config["duration_modeling"]["learn_alignment"]:
+        al = {}
+        for j, idx in enumerate([0, 2]):
+            al[f"key_proj_{j}"] = {"Conv_0": {
+                "kernel": _conv(
+                    sd[f"variance_adaptor.aligner.key_proj.{idx}.conv.weight"]),
+                "bias": _t(
+                    sd[f"variance_adaptor.aligner.key_proj.{idx}.conv.bias"])}}
+        for j, idx in enumerate([0, 2, 4]):
+            al[f"query_proj_{j}"] = {"Conv_0": {
+                "kernel": _conv(
+                    sd[f"variance_adaptor.aligner.query_proj.{idx}.conv.weight"]),
+                "bias": _t(
+                    sd[f"variance_adaptor.aligner.query_proj.{idx}.conv.bias"])}}
+        if model_config["multi_speaker"]:
+            al["key_spk_proj"] = {"kernel": _dense(
+                sd["variance_adaptor.aligner.key_spk_proj.linear.weight"])}
+            al["query_spk_proj"] = {"kernel": _dense(
+                sd["variance_adaptor.aligner.query_spk_proj.linear.weight"])}
+        va["aligner"] = al
+    params["variance_adaptor"] = va
+
+    if model_config["multi_speaker"] and "speaker_emb.weight" in sd:
+        w = sd["speaker_emb.weight"]
+        if w.ndim == 2 and "speaker_emb.bias" not in sd:
+            params["speaker_emb"] = {"embedding": _t(w)}
+        else:
+            params["speaker_emb"] = {"kernel": _dense(w),
+                                     "bias": _t(sd["speaker_emb.bias"])}
+
+    return {"params": params, "batch_stats": stats}

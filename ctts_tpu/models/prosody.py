@@ -30,6 +30,18 @@ from ctts_tpu.models.blocks import ConvNorm, LayerNorm
 # GRU helpers
 # --------------------------------------------------------------------- #
 
+class _ResetGRUCell(nn.Module):
+    """GRUCell whose state zeroes where the per-step reset flag is True."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, h, inputs):
+        x_t, r_t = inputs
+        h = jnp.where(r_t[:, None], 0.0, h)
+        h, out = nn.GRUCell(self.hidden, param_dtype=jnp.float32)(h, x_t)
+        return h, out
+
+
 class SegmentResetGRU(nn.Module):
     """GRU over [B, T, C] whose state resets where ``reset[b, t]`` is True."""
     hidden: int
@@ -37,23 +49,16 @@ class SegmentResetGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x, reset):
-        cell = nn.GRUCell(self.hidden, param_dtype=jnp.float32)
         B = x.shape[0]
         init = jnp.zeros((B, self.hidden), x.dtype)
-
-        def step(h, inp):
-            x_t, r_t = inp
-            h = jnp.where(r_t[:, None], 0.0, h)
-            h, out = cell(h, x_t)
-            return h, out
-
-        xs = (jnp.swapaxes(x, 0, 1), jnp.swapaxes(reset, 0, 1))
         if self.reverse:
-            xs = jax.tree.map(lambda a: a[::-1], xs)
-        _, outs = jax.lax.scan(step, init, xs)
+            x, reset = x[:, ::-1], reset[:, ::-1]
+        scan = nn.scan(_ResetGRUCell, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+        _, outs = scan(self.hidden, name="cell")(init, (x, reset))
         if self.reverse:
-            outs = outs[::-1]
-        return jnp.swapaxes(outs, 0, 1)                 # [B, T, H]
+            outs = outs[:, ::-1]
+        return outs                                     # [B, T, H]
 
 
 class GRU(nn.Module):
@@ -172,6 +177,18 @@ class _MaskedConvBlock(nn.Module):
         return jnp.where(mask[..., None], 0.0, x)
 
 
+class _ARGRUCell(nn.Module):
+    """GRUCell fed [x_t, h_prev] (the reference's autoregressive predictor
+    input, modules.py:285-293)."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, h, x_t):
+        inp = jnp.concatenate([x_t, h], axis=-1)
+        h, out = nn.GRUCell(self.hidden, param_dtype=jnp.float32)(h, inp)
+        return h, out
+
+
 class MDN(nn.Module):
     """Mixture density head (model/modules.py:204-232)."""
     out_features: int
@@ -204,17 +221,11 @@ class DuProsodyPredictor(nn.Module):
             x = _MaskedConvBlock(self.d_model, k, self.dropout,
                                  name=f"conv_{i}")(x, src_mask, deterministic)
 
-        cell = nn.GRUCell(2 * self.d_model, param_dtype=jnp.float32)
         B = x.shape[0]
         h0 = jnp.zeros((B, 2 * self.d_model), x.dtype)
-
-        def step(h, x_t):
-            inp = jnp.concatenate([x_t, h], axis=-1)    # [B, 3H]
-            h, out = cell(h, inp)
-            return h, out
-
-        _, outputs = jax.lax.scan(step, h0, jnp.swapaxes(x, 0, 1))
-        outputs = jnp.swapaxes(outputs, 0, 1)            # [B, T_s, 2H]
+        scan = nn.scan(_ARGRUCell, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+        _, outputs = scan(2 * self.d_model, name="gru_cell")(h0, x)
 
         w, sigma, mu = MDN(2 * self.d_model, self.num_gaussians,
                            name="gmm_mdn")(outputs)

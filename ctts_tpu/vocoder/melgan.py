@@ -1,0 +1,149 @@
+"""MelGAN generator in JAX (descriptinc/melgan-neurips architecture).
+
+The reference loads MelGAN via torch.hub (utils/model.py:46-56); this is the
+same generator re-implemented for TPU: conv7 → 4×[leaky_relu → transposed
+conv (k=2r, stride r) → 3 residual dilated blocks (d = 1, 3, 9)] →
+leaky_relu → conv7 → tanh, ratios (8, 8, 2, 2) for 256× upsampling.
+MelGAN consumes log10 mels — the caller divides natural-log mels by ln(10)
+(utils/model.py:77-78). `load_torch_melgan` ports a downloaded torch
+checkpoint (weight-norm folded).
+"""
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LRELU = 0.2
+
+
+class _RefConv(nn.Module):
+    """Conv with reflection padding (melgan uses ReflectionPad1d)."""
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, d = self.kernel_size, self.dilation
+        pad = d * (k - 1) // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+        return nn.Conv(self.features, (k,), kernel_dilation=(d,),
+                       padding="VALID", dtype=self.dtype,
+                       param_dtype=jnp.float32)(x)
+
+
+class _ResnetBlock(nn.Module):
+    dim: int
+    dilation: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.leaky_relu(x, LRELU)
+        h = _RefConv(self.dim, 3, self.dilation, self.dtype,
+                     name="block_conv")(h)
+        h = nn.leaky_relu(h, LRELU)
+        h = nn.Conv(self.dim, (1,), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="block_out")(h)
+        s = nn.Conv(self.dim, (1,), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="shortcut")(x)
+        return h + s
+
+
+class _UpsampleConvT(nn.Module):
+    """torch ConvTranspose1d(k=2r, stride=r, padding=r//2 + r%2,
+    output_padding=r%2) parity."""
+    features: int
+    ratio: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.ratio
+        k = 2 * r
+        pad = r // 2 + r % 2
+        out_pad = r % 2
+        y = nn.ConvTranspose(self.features, (k,), strides=(r,),
+                             padding="VALID", transpose_kernel=True,
+                             dtype=self.dtype, param_dtype=jnp.float32)(x)
+        # torch length: (T-1)r - 2·pad + k + out_pad; VALID gives (T-1)r + k
+        end = y.shape[1] - (2 * pad - out_pad) + pad
+        return y[:, pad:end, :]
+
+
+class MelGANGenerator(nn.Module):
+    ratios: Sequence[int] = (8, 8, 2, 2)
+    ngf: int = 32
+    n_residual_layers: int = 3
+    n_mel: int = 80
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: [B, T, n_mel] (log10-scaled) → wav [B, T·256]."""
+        mult = int(2 ** len(self.ratios))
+        x = _RefConv(mult * self.ngf, 7, dtype=self.dtype,
+                     name="conv_in")(mel.astype(self.dtype))
+        for i, r in enumerate(self.ratios):
+            mult //= 2
+            x = nn.leaky_relu(x, LRELU)
+            x = _UpsampleConvT(mult * self.ngf, r, self.dtype,
+                               name=f"up_{i}")(x)
+            for j in range(self.n_residual_layers):
+                x = _ResnetBlock(mult * self.ngf, 3 ** j, self.dtype,
+                                 name=f"res_{i}_{j}")(x)
+        x = nn.leaky_relu(x, LRELU)
+        x = _RefConv(1, 7, dtype=self.dtype, name="conv_out")(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
+
+
+def load_torch_melgan(path, ratios=(8, 8, 2, 2), n_residual_layers=3):
+    """Port a descript melgan-neurips generator checkpoint.
+
+    The torch generator is one nn.Sequential
+    [pad, conv_in, (lrelu, convT, res×3) per ratio, lrelu, pad, conv_out,
+    tanh]; ResnetBlock holds .block.{2,4} convs and .shortcut.
+    """
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and not any(hasattr(v, "numpy")
+                                        for v in sd.values()):
+        sd = sd.get("model", sd.get("state_dict", sd))
+    sd = {k.replace("model.", "", 1) if k.startswith("model.") else k:
+          np.asarray(v) for k, v in sd.items()}
+
+    def fold(prefix):
+        if f"{prefix}.weight" in sd:
+            return sd[f"{prefix}.weight"]
+        g, v = sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"]
+        return g * v / np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
+
+    def conv(prefix):                # torch [out,in,k] → flax [k,in,out]
+        return {"kernel": np.transpose(fold(prefix), (2, 1, 0)),
+                "bias": sd[f"{prefix}.bias"]}
+
+    def convT(prefix):               # torch [in,out,k] → flax [k,out,in]
+        return {"kernel": np.transpose(fold(prefix), (2, 1, 0)),
+                "bias": sd[f"{prefix}.bias"]}
+
+    params = {"conv_in": {"Conv_0": conv("1")}}
+    i = 2
+    for u, _r in enumerate(ratios):
+        i += 1                       # lrelu
+        params[f"up_{u}"] = {"ConvTranspose_0": convT(str(i))}
+        i += 1
+        for j in range(n_residual_layers):
+            params[f"res_{u}_{j}"] = {
+                "block_conv": {"Conv_0": conv(f"{i}.block.2")},
+                "block_out": conv(f"{i}.block.4"),
+                "shortcut": conv(f"{i}.shortcut"),
+            }
+            i += 1
+    i += 2                           # lrelu, pad
+    params["conv_out"] = {"Conv_0": conv(str(i))}
+    return {"params": params}
+
+

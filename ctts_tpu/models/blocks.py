@@ -149,16 +149,31 @@ class MultiHeadAttention(nn.Module):
         k = dense("k")(kv)
         v = dense("v")(kv)
         scale = 1.0 / math.sqrt(Dh)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        if key_padding_mask is not None:
-            logits = jnp.where(key_padding_mask[:, None, None, :],
-                               jnp.asarray(-1e9, logits.dtype), logits)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        probs = probs.astype(self.dtype)
-        if self.dropout > 0.0:
-            probs = nn.Dropout(self.dropout)(probs,
-                                             deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        B, T = x.shape[0], x.shape[1]
+        same_len = kv is x or kv.shape[1] == T
+        if (self.dropout == 0.0 and key_padding_mask is not None
+                and same_len):
+            # fused Pallas path (falls back to jnp off-TPU); padding masks
+            # are contiguous so a per-row length is sufficient
+            from ctts_tpu.ops.attention import fused_attention
+            lengths = jnp.sum(~key_padding_mask, axis=1).astype(jnp.int32)
+            lengths = jnp.repeat(lengths, H, axis=0)
+            fold = lambda t: t.transpose(0, 2, 1, 3).reshape(  # noqa: E731
+                B * H, -1, Dh)
+            out = fused_attention(fold(q), fold(k), fold(v), lengths,
+                                  scale=scale)
+            out = out.reshape(B, H, T, Dh).transpose(0, 2, 1, 3)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            if key_padding_mask is not None:
+                logits = jnp.where(key_padding_mask[:, None, None, :],
+                                   jnp.asarray(-1e9, logits.dtype), logits)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = probs.astype(self.dtype)
+            if self.dropout > 0.0:
+                probs = nn.Dropout(self.dropout)(probs,
+                                                 deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(C, axis=(-2, -1), use_bias=self.use_bias,
                               dtype=self.dtype, param_dtype=jnp.float32,
                               kernel_init=nn.initializers.xavier_uniform(),

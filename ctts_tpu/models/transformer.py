@@ -48,11 +48,16 @@ class _MHA(nn.Module):
                                    param_dtype=jnp.float32, kernel_init=init,
                                    name=name)
         q, k, v = proj("w_qs")(x), proj("w_ks")(x), proj("w_vs")(x)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (dh ** 0.5)
-        logits = jnp.where(padding_mask[:, None, None, :],
-                           jnp.asarray(-1e9, logits.dtype), logits)
-        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        from ctts_tpu.ops.attention import fused_attention
+        B, T = x.shape[0], x.shape[1]
+        H = self.n_head
+        lengths = jnp.repeat(
+            jnp.sum(~padding_mask, axis=1).astype(jnp.int32), H, axis=0)
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(  # noqa: E731
+            B * H, T, dh)
+        out = fused_attention(fold(q), fold(k), fold(v), lengths,
+                              scale=dh ** -0.5)
+        out = out.reshape(B, H, T, dh).transpose(0, 2, 1, 3)
         out = nn.DenseGeneral(self.d_model, axis=(-2, -1), dtype=self.dtype,
                               param_dtype=jnp.float32, kernel_init=init,
                               name="fc")(out)

@@ -1,0 +1,109 @@
+"""Training-step throughput benchmark (counterpart of the reference's
+README training table: time per 1K steps at batch 16 — README.md:26-35).
+
+Runs the full unsup+cwt training step (model fwd/bwd + on-device MAS + CTC +
+optimizer) on synthetic batches at LJSpeech-like shapes and reports
+ms/step + projected minutes per 1K steps. Not driver-run; see bench.py for
+the headline synthesis metric.
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".cache", "jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from ctts_tpu.config import get_configs_of
+    from ctts_tpu.models.comp_trans_tts import (CompTransTTS,
+                                                prepare_model_config)
+    from ctts_tpu.parallel.train_step import (create_train_state,
+                                              make_train_step)
+    from ctts_tpu.utils.optimizer import build_optimizer
+
+    B = int(os.environ.get("BENCH_B", 16))
+    T_s, T_m = 128, 896          # LJSpeech-like shape bucket
+    preprocess, model_cfg, train_cfg = get_configs_of("LJSpeech")
+    model_cfg["block_type"] = os.environ.get("BENCH_BLOCK",
+                                             "transformer_fs2")
+    model_cfg = prepare_model_config(preprocess, model_cfg)
+    model = CompTransTTS(preprocess, model_cfg, train_cfg)
+
+    rng = np.random.RandomState(0)
+    src_lens = np.full(B, T_s, np.int32)
+    mel_lens = np.full(B, T_m, np.int32)
+    batch = {
+        "speakers": jnp.zeros(B, jnp.int32),
+        "texts": jnp.asarray(rng.randint(1, 300, (B, T_s)), jnp.int32),
+        "src_lens": jnp.asarray(src_lens),
+        "mels": jnp.asarray(rng.randn(B, T_m, 80).astype(np.float32) - 4),
+        "mel_lens": jnp.asarray(mel_lens),
+        "pitch_data": {
+            "pitch": jnp.zeros((B, T_m), jnp.int32),
+            "f0": jnp.asarray(np.abs(rng.randn(B, T_m)).astype(np.float32)
+                              * 0.4 + 7),
+            "uv": jnp.asarray((rng.rand(B, T_m) < 0.2).astype(np.float32)),
+            "cwt_spec": jnp.asarray(rng.randn(B, T_m, 10).astype(np.float32)),
+            "f0_mean": jnp.full((B,), 5.3, jnp.float32),
+            "f0_std": jnp.full((B,), 0.2, jnp.float32),
+        },
+        "energies": jnp.asarray(rng.randn(B, T_m).astype(np.float32)),
+        "durations": None,
+        "attn_priors": jnp.asarray(
+            rng.rand(B, T_m, T_s).astype(np.float32) + 1e-3),
+        "spker_embeds": None,
+    }
+
+    kwargs = dict(
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], mode="train_unsup",
+        mels=batch["mels"], mel_lens=batch["mel_lens"],
+        pitch_targets=batch["pitch_data"], energy_targets=batch["energies"],
+        attn_priors=batch["attn_priors"],
+        step=jnp.zeros((), jnp.int32), deterministic=True)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **kwargs)
+    tx, _ = build_optimizer(model_cfg, train_cfg)
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(model, tx, preprocess, model_cfg, train_cfg,
+                              "train_unsup", donate=False)
+
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    _ = float(metrics["total"])                     # compile + warmup
+
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    _ = float(metrics["total"])
+    dt = (time.perf_counter() - t0) / iters
+
+    # reference: transformer_fs2 at bs16 = 4m53s / 1K steps (README.md:35)
+    ref_s_per_1k = {"transformer_fs2": 293.0, "transformer": 291.0,
+                    "fastformer": 285.0, "lstransformer": 326.0,
+                    "conformer": 424.0, "reformer": 616.0}.get(
+        model_cfg["block_type"])
+    out = {
+        "metric": "train_step_ms",
+        "value": round(dt * 1000, 2),
+        "unit": "ms_per_step_bs16",
+        "block": model_cfg["block_type"],
+        "s_per_1k_steps": round(dt * 1000),
+        "speedup_vs_reference_gpu": (round(ref_s_per_1k / (dt * 1000), 2)
+                                     if ref_s_per_1k else None),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

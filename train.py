@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--max_steps", type=int, default=None,
                         help="override total_step (smoke runs)")
     parser.add_argument("--config_dir", type=str, default=None)
+    parser.add_argument("--profile_steps", type=str, default=None,
+                        help="START:END step range to capture a jax.profiler"
+                             " trace into log_path/profile")
+    parser.add_argument("--vocoder_ckpt", type=str, default="ckpt")
     args = parser.parse_args()
 
     from ctts_tpu.config import get_configs_of
@@ -90,10 +94,15 @@ def main():
         log_path = train_config["path"]["log_path"]
         train_logger = Logger(log_path, "train")
         val_logger = Logger(log_path, "val")
+        profile_range = (tuple(map(int, args.profile_steps.split(":")))
+                         if args.profile_steps else None)
+        from ctts_tpu.utils.model import get_vocoder
+        vocoder = get_vocoder(model_config, args.vocoder_ckpt)
 
         total_step = args.max_steps or train_config["step"]["total_step"]
         log_step = train_config["step"]["log_step"]
         val_step = train_config["step"]["val_step"]
+        synth_step = train_config["step"]["synth_step"]
         save_step = train_config["step"]["save_step"]
         rng = jax.random.PRNGKey(train_config["seed"])
 
@@ -104,9 +113,16 @@ def main():
         while not done:
             for batch in train_set.batches(epoch=epoch,
                                            seed=train_config["seed"]):
+                raw_batch = batch
                 batch = shard_batch(_device_batch(batch), mesh)
+                if profile_range and step + 1 == profile_range[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(log_path, "profile"))
                 state, metrics = train_step(state, batch, rng)
                 step = int(state.step)
+                if profile_range and step == profile_range[1]:
+                    jax.block_until_ready(metrics["total"])
+                    jax.profiler.stop_trace()
 
                 if step % log_step == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
@@ -119,6 +135,10 @@ def main():
                           f"mel={metrics['mel']:.4f} lr={lr:.2e} "
                           f"{dt*1000:.0f}ms/step")
 
+                if step % synth_step == 0:
+                    _synth_preview(eval_step, state, batch, raw_batch,
+                                   vocoder, preprocess_config, train_logger,
+                                   step)
                 if step % val_step == 0:
                     _validate(val_set, state, eval_step, mesh, val_logger,
                               step)
@@ -156,6 +176,42 @@ def _model_kwargs(batch, mode):
 
 def _device_batch(batch):
     return {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
+
+
+def _synth_preview(eval_step, state, batch, raw_batch, vocoder,
+                   preprocess_config, logger, step):
+    """One training sample: GT vs predicted mel figure, alignment figure,
+    reconstructed + synthesized audio (reference train.py:142-179)."""
+    try:
+        from ctts_tpu.utils.logging import plot_mel, plot_alignment
+        from ctts_tpu.utils.model import vocoder_infer
+        import matplotlib.pyplot as plt
+
+        comps, out = eval_step(state, batch)
+        i = 0
+        mel_len = int(np.asarray(out["mel_lens"])[i])
+        mel_pred = np.asarray(out["postnet_mel_predictions"])[i, :mel_len]
+        mel_gt = np.asarray(batch["mels"])[i, :mel_len]
+        fig = plot_mel([mel_pred.T, mel_gt.T],
+                       ["Synthesized", "Ground-Truth"])
+        logger.figure(f"Training/step_{step}_{raw_batch['ids'][i]}", fig,
+                      step)
+        plt.close(fig)
+        attn_soft = out["attn_outs"][0]
+        if attn_soft is not None:
+            src_len = int(np.asarray(batch["src_lens"])[i])
+            a = np.asarray(attn_soft)[i, :mel_len, :src_len]
+            h = np.asarray(out["attn_outs"][1])[i, :mel_len, :src_len]
+            fig = plot_alignment([a.T, h.T], ["soft", "hard"])
+            logger.figure(f"Training/attn_{step}", fig, step)
+            plt.close(fig)
+        if vocoder[0] != "griffin_lim":
+            wavs = vocoder_infer(mel_pred[None], vocoder, preprocess_config,
+                                 lengths=[mel_len])
+            logger.audio(f"Training/step_{step}_synthesized",
+                         wavs[0].astype(np.float32) / 32768.0, step)
+    except Exception as e:  # previews must never kill training
+        print(f"  (synth preview skipped: {type(e).__name__}: {e})")
 
 
 def _validate(val_set, state, eval_step, mesh, logger, step):

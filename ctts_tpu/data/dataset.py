@@ -13,6 +13,8 @@ group_size) minimizes padding waste inside each bucket.
 
 import json
 import os
+import queue
+import threading
 
 import numpy as np
 
@@ -22,6 +24,28 @@ from ctts_tpu.text import text_to_sequence
 
 def _round_up(x, m):
     return int(-(-x // m) * m)
+
+
+def prefetch_iter(iterator, depth=2):
+    """Run an iterator on a background thread with a bounded queue, so host
+    batch assembly (and native .npy IO) overlaps device execution."""
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
 
 
 def get_variance_level(preprocess_config, model_config, data_loading=True):
@@ -62,8 +86,24 @@ class Dataset:
         with open(os.path.join(self.preprocessed_path, "speakers.json")) as f:
             self.speaker_map = json.load(f)
 
+        # threaded C++ .npy reader when built (native/npy_loader.cc)
+        self._native = None
+        try:
+            from ctts_tpu.data import native_loader
+            if native_loader.available():
+                self._native = native_loader.NativePrefetcher(8)
+        except Exception:
+            self._native = None
+
     def __len__(self):
         return len(self.text)
+
+    def _load_many(self, paths):
+        if self._native is not None:
+            arrays = self._native.fetch(self._native.submit(paths))
+            if all(a is not None for a in arrays):
+                return arrays
+        return [np.load(p) for p in paths]
 
     def _npy(self, kind, speaker, basename, tagged=True):
         tag = f"_{self.dataset_tag}" if tagged else ""
@@ -74,43 +114,53 @@ class Dataset:
     def __getitem__(self, idx):
         basename = self.basename[idx]
         speaker = self.speaker[idx]
+        tag = self.dataset_tag
+        pp = self.preprocessed_path
+
+        keys = ["mel", "pitch", "f0", "energy"]
+        paths = [
+            os.path.join(pp, f"mel_{tag}", f"{speaker}-mel-{basename}.npy"),
+            os.path.join(pp, f"pitch_{tag}",
+                         f"{speaker}-pitch-{basename}.npy"),
+            os.path.join(pp, f"f0_{tag}", f"{speaker}-f0-{basename}.npy"),
+            os.path.join(pp, f"energy_{tag}_{self.energy_level_tag}",
+                         f"{speaker}-energy-{basename}.npy"),
+        ]
+        if self.learn_alignment:
+            keys.append("attn_prior")
+            paths.append(os.path.join(
+                pp, "attn_prior", f"{speaker}-attn_prior-{basename}.npy"))
+        else:
+            keys += ["duration", "mel2ph"]
+            paths += [os.path.join(pp, "duration",
+                                   f"{speaker}-duration-{basename}.npy"),
+                      os.path.join(pp, "mel2ph",
+                                   f"{speaker}-mel2ph-{basename}.npy")]
+        if self.pitch_type == "cwt":
+            keys += ["cwt_spec", "_f0cwt_ms"]
+            paths += [os.path.join(pp, f"cwt_spec_{tag}",
+                                   f"{speaker}-cwt_spec-{basename}.npy"),
+                      os.path.join(
+                          pp, f"f0cwt_mean_std_{tag}",
+                          f"{speaker}-f0cwt_mean_std-{basename}.npy")]
+        if self.load_spker_embed:
+            keys.append("spker_embed")
+            paths.append(os.path.join(pp, "spker_embed",
+                                      f"{speaker}-spker_embed.npy"))
+
+        arrays = dict(zip(keys, self._load_many(paths)))
         sample = {
             "id": basename,
             "speaker": self.speaker_map[speaker],
             "text": np.array(text_to_sequence(self.text[idx], self.cleaners)),
             "raw_text": self.raw_text[idx],
-            "mel": self._npy("mel", speaker, basename),
-            "pitch": self._npy("pitch", speaker, basename),
+            **{k: v for k, v in arrays.items() if not k.startswith("_")},
         }
-        f0 = self._npy("f0", speaker, basename)
         sample["f0"], sample["uv"] = norm_interp_f0(
-            f0, self.preprocess_config["preprocessing"]["pitch"])
-        sample["energy"] = np.load(os.path.join(
-            self.preprocessed_path,
-            f"energy_{self.dataset_tag}_{self.energy_level_tag}",
-            f"{speaker}-energy-{basename}.npy"))
-        if self.learn_alignment:
-            sample["attn_prior"] = np.load(os.path.join(
-                self.preprocessed_path, "attn_prior",
-                f"{speaker}-attn_prior-{basename}.npy"))
-        else:
-            sample["duration"] = np.load(os.path.join(
-                self.preprocessed_path, "duration",
-                f"{speaker}-duration-{basename}.npy"))
-            sample["mel2ph"] = np.load(os.path.join(
-                self.preprocessed_path, "mel2ph",
-                f"{speaker}-mel2ph-{basename}.npy"))
+            arrays["f0"], self.preprocess_config["preprocessing"]["pitch"])
         if self.pitch_type == "cwt":
-            sample["cwt_spec"] = self._npy("cwt_spec", speaker, basename)
-            ms = np.load(os.path.join(
-                self.preprocessed_path,
-                f"f0cwt_mean_std_{self.dataset_tag}",
-                f"{speaker}-f0cwt_mean_std-{basename}.npy"))
+            ms = arrays["_f0cwt_ms"]
             sample["f0_mean"], sample["f0_std"] = float(ms[0]), float(ms[1])
-        if self.load_spker_embed:
-            sample["spker_embed"] = np.load(os.path.join(
-                self.preprocessed_path, "spker_embed",
-                f"{speaker}-spker_embed.npy"))
         return sample
 
     def _process_meta(self, filename):

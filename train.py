@@ -111,8 +111,10 @@ def main():
         t_last = time.time()
         done = False
         while not done:
-            for batch in train_set.batches(epoch=epoch,
-                                           seed=train_config["seed"]):
+            from ctts_tpu.data.dataset import prefetch_iter
+            for batch in prefetch_iter(
+                    train_set.batches(epoch=epoch,
+                                      seed=train_config["seed"])):
                 raw_batch = batch
                 batch = shard_batch(_device_batch(batch), mesh)
                 if profile_range and step + 1 == profile_range[0]:

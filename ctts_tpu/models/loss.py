@@ -100,9 +100,14 @@ def pitch_loss(pitch_predictions, pitch_targets, pitch_cfg, loss_cfg,
     if pitch_type == "cwt":
         cwt_pred = pitch_predictions["cwt"][:, :, :10]
         cwt_tgt = pitch_targets["cwt_spec"]
-        assert loss_cfg["cwt_loss"] in ("l1", "l2")
-        c_fn = jnp.abs if loss_cfg["cwt_loss"] == "l1" else lambda d: d ** 2
-        losses["C"] = jnp.mean(c_fn(cwt_pred - cwt_tgt)) * lam_f0
+        if loss_cfg["cwt_loss"] == "ssim":
+            from ctts_tpu.ops.ssim import ssim_loss as _ssim_loss
+            losses["C"] = _ssim_loss(cwt_pred, cwt_tgt, bias=20.0) * lam_f0
+        else:
+            assert loss_cfg["cwt_loss"] in ("l1", "l2")
+            c_fn = (jnp.abs if loss_cfg["cwt_loss"] == "l1"
+                    else lambda d: d ** 2)
+            losses["C"] = jnp.mean(c_fn(cwt_pred - cwt_tgt)) * lam_f0
         if pitch_cfg["use_uv"]:
             uv_pred = pitch_predictions["cwt"][:, :, -1]
             losses["uv"] = _masked_mean(_bce_logits(uv_pred, uv), nonpad) \

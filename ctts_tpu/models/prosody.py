@@ -431,6 +431,38 @@ class ParallelProsodyPredictor(nn.Module):
         return nn.Dense(bottleneck, name="predictor_bottleneck")(vec)
 
 
+class NonParallelProsodyPredictor(nn.Module):
+    """Autoregressive (GRU) prosody predictor — the reference's alternative
+    liu2021 predictor (model/modules.py:651-723; instantiated variant is the
+    parallel one, modules.py:854-857). Provided for parity."""
+    model_config: dict
+    phoneme_level: bool = True
+
+    @nn.compact
+    def __call__(self, x, src_mask=None, deterministic=True):
+        liu = self.model_config["prosody_modeling"]["liu2021"]
+        E = _enc_hidden(self.model_config)
+        ks = liu["predictor_kernel_size"]
+        kernel_sizes = ks if isinstance(ks, (list, tuple)) else (ks, ks)
+        drop = liu["predictor_dropout"]
+        bottleneck = (liu["bottleneck_size_p"] if self.phoneme_level
+                      else liu["bottleneck_size_u"])
+        for i, k in enumerate(kernel_sizes[:2]):
+            x = _MaskedConvBlock(E, k, drop, name=f"conv_{i}")(
+                x, src_mask if src_mask is not None
+                else jnp.zeros(x.shape[:2], bool), deterministic)
+        B = x.shape[0]
+        h0 = jnp.zeros((B, 2 * E), x.dtype)
+        scan = nn.scan(_ARGRUCell, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+        _, outputs = scan(2 * E, name="gru_cell")(h0, x)
+        if src_mask is not None:
+            outputs = jnp.where(src_mask[..., None], 0.0, outputs)
+        vec = outputs if self.phoneme_level else \
+            jnp.mean(outputs, axis=1, keepdims=True)
+        return nn.Dense(bottleneck, name="predictor_bottleneck")(vec)
+
+
 class LiuProsody(nn.Module):
     """Wiring of encoders (train targets) + predictors (vectors)
     (model/modules.py:845-861, 1002-1023)."""

@@ -38,4 +38,8 @@ def build_optimizer(model_config, train_config, d_model=None):
         optax.adam(schedule, b1=opt_cfg["betas"][0], b2=opt_cfg["betas"][1],
                    eps=opt_cfg["eps"]),
     )
+    # gradient accumulation (reference grad_acc_step, train.py:68,112,118)
+    acc = opt_cfg.get("grad_acc_step", 1)
+    if acc and acc > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=acc)
     return tx, schedule

@@ -94,6 +94,11 @@ def preprocess_mandarin(text, preprocess_config):
     """(reference synthesize.py:59-84)"""
     from pypinyin import pinyin, Style
     lexicon = read_lexicon(preprocess_config["path"]["lexicon_path"])
+    if not lexicon:
+        # rule-generated pinyin lexicon (exact superset of the reference's
+        # lexicon/pinyin-lexicon-r.txt)
+        from ctts_tpu.text.pinyin_lexicon import build_lexicon
+        lexicon = build_lexicon()
     phones = []
     pinyins = [p[0] for p in pinyin(text, style=Style.TONE3,
                                     strict=False, neutral_tone_with_five=True)]

@@ -36,8 +36,9 @@ def prefetch_iter(iterator, depth=2):
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:                  # propagate to consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -45,6 +46,8 @@ def prefetch_iter(iterator, depth=2):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
@@ -241,7 +244,8 @@ class Dataset:
                 p = s["attn_prior"]          # stored [T_s, T_m] or [T_m, T_s]
                 if p.shape[0] == len(s["text"]):
                     p = p.T
-                priors[b, :p.shape[0], :p.shape[1]] = p
+                m, t = min(p.shape[0], T_m), min(p.shape[1], T_s)
+                priors[b, :m, :t] = p[:m, :t]
             batch["attn_priors"] = priors
         else:
             batch["durations"] = pad1("duration", np.int32, T=T_s)

@@ -283,6 +283,12 @@ class Preprocessor:
         phones = "{" + "}{".join(phone) + "}"
         phones = re.sub(r"\{[^\w\s]?\}", "{sp}", phones)
         text_unsup = phones.replace("}{", " ")
+        # the attention prior must agree with the TOKEN count the loader
+        # will produce (invalid g2p outputs are dropped by
+        # text_to_sequence), so count tokens, not raw phones
+        from ctts_tpu.text import text_to_sequence
+        cleaners = self.config["preprocessing"]["text"]["text_cleaners"]
+        n_tokens = len(text_to_sequence(text_unsup, cleaners))
 
         mel, energy = get_mel_from_wav(wav, self.stft)     # [80, F], [F]
         mel = mel[:, :duration]
@@ -305,7 +311,7 @@ class Preprocessor:
 
         if unsup_ok:
             attn_prior = self.beta_binomial_prior_distribution(
-                mel.shape[1], len(phone), self.beta_binomial_scaling_factor)
+                mel.shape[1], n_tokens, self.beta_binomial_scaling_factor)
             self._save(speaker, basename, "attn_prior", attn_prior)
             self._save(speaker, basename, "f0_unsup", f0_unsup, "f0")
             self._save(speaker, basename, "pitch_unsup", pitch_unsup,
@@ -423,8 +429,12 @@ class Preprocessor:
         phones, durations, mel2ph = [], [], []
         start_time = end_time = 0
         end_idx = 0
+        from ctts_tpu.text.symbols import symbols as _symbols
+        known = {s[1:] for s in _symbols if s.startswith("@")}
         for t in tier:
             s, e, p = t.start_time, t.end_time, t.text
+            if p not in _SIL_PHONES and p not in known:
+                p = "spn"           # sanitize unknown aligner phones
             if not phones:
                 if p in _SIL_PHONES:
                     continue

@@ -31,16 +31,41 @@ def evaluate(model, state, configs, logger=None, vocoder=None, step=None):
                                train_config, mode)
 
     sums, count = {}, 0
+    sample = None
     for batch in dataset.batches(shuffle=False, group_size=1):
         n = len(batch["ids"])
         db = {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
         db = jax.tree.map(lambda x: jnp.asarray(x) if x is not None else None,
                           db)
-        comps, _ = eval_step(state, db)
+        comps, out = eval_step(state, db)
+        if sample is None:
+            sample = (batch, out)
         for k, v in comps.items():
             sums[k] = sums.get(k, 0.0) + float(v) * n
         count += n
     means = {k: v / count for k, v in sums.items()}
+
+    # one synthesized sample: GT vs prediction figure + audio (reference
+    # evaluate.py:71-107)
+    if logger is not None and sample is not None:
+        from ctts_tpu.utils.logging import plot_mel
+        from ctts_tpu.utils.model import vocoder_infer
+        import matplotlib.pyplot as plt
+        batch, out = sample
+        mel_len = int(np.asarray(out["mel_lens"])[0])
+        pred = np.asarray(out["postnet_mel_predictions"])[0, :mel_len]
+        gt = np.asarray(batch["mels"])[0, :mel_len]
+        fig = plot_mel([pred.T, gt.T], ["Synthesized", "Ground-Truth"])
+        logger.figure(f"Validation/step_{step}_{batch['ids'][0]}", fig, step)
+        plt.close(fig)
+        if vocoder is not None and vocoder[0] != "griffin_lim":
+            wavs = vocoder_infer(np.stack([pred, gt]), vocoder,
+                                 preprocess_config,
+                                 lengths=[mel_len, mel_len])
+            logger.audio(f"Validation/step_{step}_synth",
+                         wavs[0].astype(np.float32) / 32768.0, step)
+            logger.audio(f"Validation/step_{step}_reconstructed",
+                         wavs[1].astype(np.float32) / 32768.0, step)
     message = "Validation Step {}, ".format(step) + ", ".join(
         f"{k}: {v:.4f}" for k, v in means.items())
     if logger is not None:

@@ -24,9 +24,9 @@ def inv_mel_spec_batch(mels, preprocess_config, n_iters=30):
     fb = mel_filterbank(p["audio"]["sampling_rate"], n_fft,
                         p["mel"]["n_mel_channels"], p["mel"]["mel_fmin"],
                         p["mel"]["mel_fmax"])
-    inv_fb = np.linalg.pinv(fb)
+    inv_fb = np.linalg.pinv(fb)                # [n_bins, n_mel]
     mel_lin = dynamic_range_decompression(np.asarray(mels))
-    mags = np.maximum(np.einsum("km,btm->btk", inv_fb.T, mel_lin), 1e-8)
+    mags = np.maximum(np.einsum("km,btm->btk", inv_fb, mel_lin), 1e-8)
     wav = griffin_lim_jnp(jnp.asarray(mags).transpose(0, 2, 1), n_fft, hop,
                           win, n_iters=n_iters)
     out = np.asarray(wav, np.float32)

@@ -11,6 +11,7 @@ __init__, model/modules.py:787-819, CompTransTTS.py:43-62).
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -94,6 +95,8 @@ class CompTransTTS(nn.Module):
         Shapes are static: texts [B, T_s]; mels [B, T_m, n_mel] in training;
         at inference max_mel_len is the static frame budget.
         """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)    # du2021 inference sampling
         max_src_len = texts.shape[1]
         src_masks = get_mask_from_lengths(src_lens, max_src_len)
         if mels is not None:

@@ -17,8 +17,13 @@ import numpy as np
 _NEG = -1e30
 
 
-def _mas_single(log_attn, mel_len, text_len):
-    """log_attn: [T_m, T_s] log-probabilities. Returns hard [T_m, T_s] f32."""
+def _mas_single(log_attn, mel_len, text_len, unroll=8):
+    """log_attn: [T_m, T_s] log-probabilities. Returns hard [T_m, T_s] f32.
+
+    The DP recurrence is inherently sequential over mel rows; `unroll` rows
+    are processed per lax.scan step (statically unrolled) to amortize
+    per-step dispatch on TPU.
+    """
     T_m, T_s = log_attn.shape
     j_idx = jnp.arange(T_s)
     key_valid = j_idx < text_len                       # [T_s]
@@ -27,27 +32,54 @@ def _mas_single(log_attn, mel_len, text_len):
     # Forward DP. Row 0: only j == 0 reachable (mas_width1 line 42).
     row0 = jnp.where(j_idx == 0, log_attn[0], _NEG)
 
-    def step(log_p_prev, attn_row):
-        shifted = jnp.concatenate([jnp.full((1,), _NEG), log_p_prev[:-1]])
-        move = shifted >= log_p_prev                    # tie → diagonal move
-        best = jnp.where(move, shifted, log_p_prev)
-        log_p = attn_row + best
-        return log_p, move
+    rest = log_attn[1:]
+    n_rest = T_m - 1
+    pad = (-n_rest) % unroll
+    if pad:
+        rest = jnp.concatenate(
+            [rest, jnp.full((pad, T_s), _NEG, rest.dtype)], axis=0)
+    rest = rest.reshape(-1, unroll, T_s)
 
-    _, moves = jax.lax.scan(step, row0, log_attn[1:])   # moves: [T_m-1, T_s]
+    def step(log_p, attn_rows):
+        moves = []
+        for u in range(unroll):
+            shifted = jnp.concatenate([jnp.full((1,), _NEG), log_p[:-1]])
+            move = shifted >= log_p                     # tie → diagonal move
+            log_p = attn_rows[u] + jnp.where(move, shifted, log_p)
+            moves.append(move)
+        return log_p, jnp.stack(moves)
+
+    _, moves = jax.lax.scan(step, row0, rest)           # [chunks, U, T_s]
+    moves = moves.reshape(-1, T_s)[:n_rest]
     moves = jnp.concatenate([jnp.zeros((1, T_s), bool), moves], axis=0)
 
     # Backtrack from (mel_len-1, text_len-1) down to row 0.
-    def back(curr_j, i):
-        active = i < mel_len
-        row = jnp.where(active, jnp.zeros(T_s).at[curr_j].set(1.0),
-                        jnp.zeros(T_s))
-        step_back = jnp.where(moves[i, curr_j], curr_j - 1, curr_j)
-        nxt = jnp.where(active & (i > 0), step_back, curr_j)
-        return nxt, row
+    rev_moves = moves[::-1]
+    rev_idx = jnp.arange(T_m - 1, -1, -1)
+    pad_b = (-T_m) % unroll
+    if pad_b:
+        rev_moves = jnp.concatenate(
+            [rev_moves, jnp.zeros((pad_b, T_s), bool)], axis=0)
+        rev_idx = jnp.concatenate(
+            [rev_idx, jnp.full((pad_b,), -1, rev_idx.dtype)])
+    rev_moves = rev_moves.reshape(-1, unroll, T_s)
+    rev_idx = rev_idx.reshape(-1, unroll)
+
+    def back(curr_j, inp):
+        mv, idx = inp
+        rows = []
+        for u in range(unroll):
+            i = idx[u]
+            active = (i >= 0) & (i < mel_len)
+            rows.append(jnp.where(
+                active, (j_idx == curr_j).astype(jnp.float32), 0.0))
+            step_back = jnp.where(mv[u, curr_j], curr_j - 1, curr_j)
+            curr_j = jnp.where(active & (i > 0), step_back, curr_j)
+        return curr_j, jnp.stack(rows)
 
     start_j = jnp.maximum(text_len - 1, 0)
-    _, rows = jax.lax.scan(back, start_j, jnp.arange(T_m - 1, -1, -1))
+    _, rows = jax.lax.scan(back, start_j, (rev_moves, rev_idx))
+    rows = rows.reshape(-1, T_s)[:T_m]
     return rows[::-1]
 
 

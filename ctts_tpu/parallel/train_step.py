@@ -52,7 +52,8 @@ def make_train_step(model, tx, preprocess_config, model_config, train_config,
             attn_priors=batch["attn_priors"] if mode == "train_unsup" else None,
             spker_embeds=batch["spker_embeds"],
             step=step, deterministic=False,
-            rngs={"dropout": dropout_rng},
+            rngs={"dropout": dropout_rng,
+                  "lsh": jax.random.fold_in(dropout_rng, 1)},
             mutable=["batch_stats"])
         return out, mutated.get("batch_stats", {})
 

@@ -123,21 +123,27 @@ def synthesize(model, variables, batch, configs, vocoder, controls,
                result_dir, max_mel_len=None, bucket=128):
     preprocess_config, model_config, train_config = configs
     p, e, d = controls
-    T_s = batch["texts"].shape[1]
-    if max_mel_len is None:
-        max_mel_len = min(model_config["max_seq_len"],
-                          max(bucket, T_s * 8))
-        max_mel_len = -(-max_mel_len // bucket) * bucket
 
-    out = model.apply(
-        variables,
-        speakers=jnp.asarray(batch["speakers"]),
-        texts=jnp.asarray(batch["texts"]),
-        src_lens=jnp.asarray(batch["src_lens"]),
-        mode="infer", max_mel_len=max_mel_len,
-        spker_embeds=(jnp.asarray(batch["spker_embeds"])
-                      if batch.get("spker_embeds") is not None else None),
-        p_control=p, e_control=e, d_control=d, deterministic=True)
+    def run(mel_budget):
+        return model.apply(
+            variables,
+            speakers=jnp.asarray(batch["speakers"]),
+            texts=jnp.asarray(batch["texts"]),
+            src_lens=jnp.asarray(batch["src_lens"]),
+            mode="infer", max_mel_len=mel_budget,
+            spker_embeds=(jnp.asarray(batch["spker_embeds"])
+                          if batch.get("spker_embeds") is not None else None),
+            p_control=p, e_control=e, d_control=d, deterministic=True)
+
+    if max_mel_len is None:
+        # probe predicted durations with a tiny budget, then synthesize with
+        # a right-sized static bucket (serving pattern; see bench.py)
+        probe = run(bucket)
+        total = int(np.asarray(
+            jnp.sum(probe["duration_rounded"], axis=1)).max())
+        cap = 2 * model_config["max_seq_len"]   # pos tables extend to 2×
+        max_mel_len = min(cap, -(-max(total, 1) // bucket) * bucket)
+    out = run(max_mel_len)
 
     mels = np.asarray(out["postnet_mel_predictions"])
     mel_lens = np.asarray(out["mel_lens"])

@@ -44,9 +44,11 @@ class _MHA(nn.Module):
         residual = x
         init = nn.initializers.xavier_uniform()
         def proj(name):
-            return nn.DenseGeneral((self.n_head, dh), dtype=self.dtype,
-                                   param_dtype=jnp.float32, kernel_init=init,
-                                   name=name)
+            # reference projections are LinearNorm with bias=False
+            # (transformer.py:191-198, blocks.py:159-172)
+            return nn.DenseGeneral((self.n_head, dh), use_bias=False,
+                                   dtype=self.dtype, param_dtype=jnp.float32,
+                                   kernel_init=init, name=name)
         q, k, v = proj("w_qs")(x), proj("w_ks")(x), proj("w_vs")(x)
         from ctts_tpu.ops.attention import fused_attention
         B, T = x.shape[0], x.shape[1]
@@ -58,9 +60,9 @@ class _MHA(nn.Module):
         out = fused_attention(fold(q), fold(k), fold(v), lengths,
                               scale=dh ** -0.5)
         out = out.reshape(B, H, T, dh).transpose(0, 2, 1, 3)
-        out = nn.DenseGeneral(self.d_model, axis=(-2, -1), dtype=self.dtype,
-                              param_dtype=jnp.float32, kernel_init=init,
-                              name="fc")(out)
+        out = nn.DenseGeneral(self.d_model, axis=(-2, -1), use_bias=False,
+                              dtype=self.dtype, param_dtype=jnp.float32,
+                              kernel_init=init, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(
             out + residual)

@@ -151,14 +151,17 @@ class VarianceAdaptor(nn.Module):
         pitch_target = dict(pitch_target) if pitch_target else {}
         prosody_info = None
 
+        x_text = x                          # pre-speaker encoder output
         if speaker_embedding is not None:
             x = x + speaker_embedding[:, None, :]
 
         # ---- prosody modeling (model/modules.py:990-1023) ----
         if self.model_type == "du2021":
+            # the reference feeds the PRE-speaker text hidden to the
+            # predictor (modules.py:992)
             w, sigma, mu = self.prosody_predictor(
-                x - (speaker_embedding[:, None, :] if speaker_embedding is not None else 0.0),
-                src_mask, deterministic=deterministic, training=training)
+                x_text, src_mask, deterministic=deterministic,
+                training=training)
             if training:
                 prosody_embeddings = self.prosody_extractor(
                     mel, mel_len, duration_target, src_mask, max_mel_len)

@@ -85,31 +85,71 @@ def _pitch_predictor(sd, prefix, n_layers):
     }
 
 
+def _classic_layer(sd, p, hidden, heads):
+    """One classic FFTBlock (transformer.py:157-288)."""
+    dh = hidden // heads
+
+    def qkv(name):
+        w = _t(sd[f"{p}.slf_attn.{name}.linear.weight"])     # [H, H]
+        return {"kernel": w.T.reshape(hidden, heads, dh)}
+
+    return {
+        "slf_attn": {
+            "w_qs": qkv("w_qs"), "w_ks": qkv("w_ks"), "w_vs": qkv("w_vs"),
+            "fc": {"kernel": _t(
+                sd[f"{p}.slf_attn.fc.linear.weight"]).T.reshape(
+                    heads, dh, hidden)},
+            "LayerNorm_0": _ln(sd, f"{p}.slf_attn.layer_norm"),
+        },
+        "pos_ffn": {
+            "w_1": {"Conv_0": {
+                "kernel": _conv(sd[f"{p}.pos_ffn.w_1.weight"]),
+                "bias": _t(sd[f"{p}.pos_ffn.w_1.bias"])}},
+            "w_2": {"Conv_0": {
+                "kernel": _conv(sd[f"{p}.pos_ffn.w_2.weight"]),
+                "bias": _t(sd[f"{p}.pos_ffn.w_2.bias"])}},
+            "LayerNorm_0": _ln(sd, f"{p}.pos_ffn.layer_norm"),
+        },
+    }
+
+
 def import_reference_checkpoint(state_dict, preprocess_config, model_config):
     """torch state_dict → {"params": ..., "batch_stats": ...}."""
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
           for k, v in state_dict.items()}
-    assert model_config["block_type"] == "transformer_fs2", \
-        "importer currently covers transformer_fs2"
-    cfg = model_config["transformer_fs2"]
+    block = model_config["block_type"]
+    assert block in ("transformer_fs2", "transformer"), \
+        "importer covers transformer_fs2 and transformer"
+    cfg = model_config[block]
     vp = model_config["variance_predictor"]
     enc_h = cfg["encoder_hidden"]
 
     params = {}
     stats = {}
 
-    # ---- encoder ----
-    params["encoder"] = {
-        "embed_tokens": {"embedding": _t(sd["encoder.embed_tokens.weight"])},
-        "fft": _fs2_stack(sd, "encoder", cfg["encoder_layer"], enc_h,
-                          cfg["encoder_head"]),
-    }
-
-    # ---- decoder (has pos_embed_alpha) ----
-    dec = _fs2_stack(sd, "decoder", cfg["decoder_layer"],
-                     cfg["decoder_hidden"], cfg["decoder_head"])
-    dec["pos_embed_alpha"] = _t(sd["decoder.pos_embed_alpha"])
-    params["decoder"] = {"fft": dec}
+    if block == "transformer_fs2":
+        params["encoder"] = {
+            "embed_tokens": {"embedding": _t(
+                sd["encoder.embed_tokens.weight"])},
+            "fft": _fs2_stack(sd, "encoder", cfg["encoder_layer"], enc_h,
+                              cfg["encoder_head"]),
+        }
+        dec = _fs2_stack(sd, "decoder", cfg["decoder_layer"],
+                         cfg["decoder_hidden"], cfg["decoder_head"])
+        dec["pos_embed_alpha"] = _t(sd["decoder.pos_embed_alpha"])
+        params["decoder"] = {"fft": dec}
+    else:  # classic transformer
+        params["encoder"] = {
+            "src_word_emb": {"embedding": _t(
+                sd["encoder.src_word_emb.weight"])},
+            **{f"layer_stack_{i}": _classic_layer(
+                sd, f"encoder.layer_stack.{i}", enc_h,
+                cfg["encoder_head"]) for i in range(cfg["encoder_layer"])},
+        }
+        params["decoder"] = {
+            f"layer_stack_{i}": _classic_layer(
+                sd, f"decoder.layer_stack.{i}", cfg["decoder_hidden"],
+                cfg["decoder_head"]) for i in range(cfg["decoder_layer"])}
 
     # ---- mel linear & postnet ----
     params["mel_linear"] = {"kernel": _dense(sd["mel_linear.weight"]),

@@ -80,10 +80,12 @@ def _batch(B=2, T_s=11, T_m=36, seed=0):
                 energy=energy)
 
 
-def test_transformer_fs2_output_parity(ref_env):
+@pytest.mark.parametrize("block", ["transformer_fs2", "transformer"])
+def test_transformer_fs2_output_parity(ref_env, block):
     from model.CompTransTTS import CompTransTTS as RefModel
 
     pre, mod, tr = _ref_configs()
+    mod["block_type"] = block
     torch.manual_seed(0)
     ref = RefModel(pre, mod, tr).eval()
 

@@ -203,6 +203,8 @@ class Preprocessor:
             np.save(os.path.join(self.out_dir, "spker_embed",
                                  f"{speaker}-spker_embed.npy"),
                     np.mean(embeds, axis=0))
+        if len(spker_embeds) > 2:
+            self._plot_speaker_tsne(spker_embeds)
 
         stats = {}
         for tag, f0s in (("unsup", f0s_unsup), ("sup", f0s_sup)):
@@ -481,6 +483,35 @@ class Preprocessor:
         lower = p25 - 1.5 * (p75 - p25)
         upper = p75 + 1.5 * (p75 - p25)
         return values[np.logical_and(values > lower, values < upper)]
+
+    def _plot_speaker_tsne(self, spker_embeds):
+        """t-SNE of speaker embeddings → spker_embed_tsne.png
+        (reference utils/tools.py:507-526, preprocessor.py:308-313)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+            from sklearn.manifold import TSNE
+            names, vecs = [], []
+            for spk, embeds in spker_embeds.items():
+                for e in embeds:
+                    names.append(spk)
+                    vecs.append(np.asarray(e).ravel())
+            X = np.stack(vecs)
+            emb2d = TSNE(n_components=2,
+                         perplexity=min(30, max(2, len(X) // 3)),
+                         init="random").fit_transform(X)
+            fig, ax = plt.subplots(figsize=(7, 7))
+            uniq = sorted(set(names))
+            for i, spk in enumerate(uniq):
+                idx = [j for j, n in enumerate(names) if n == spk]
+                ax.scatter(emb2d[idx, 0], emb2d[idx, 1], s=8, label=spk)
+            if len(uniq) <= 20:
+                ax.legend(fontsize="x-small")
+            fig.savefig(os.path.join(self.out_dir, "spker_embed_tsne.png"))
+            plt.close(fig)
+        except Exception as e:       # plotting must not break featurization
+            print(f"(t-SNE plot skipped: {e})")
 
     @staticmethod
     def _normalize_dir(in_dir, mean, std):

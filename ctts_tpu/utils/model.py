@@ -21,19 +21,56 @@ def get_model(args_restore_step, configs, train=False):
     model_config = prepare_model_config(preprocess_config, model_config)
     model = CompTransTTS(preprocess_config, model_config, train_config)
 
-    # template init on tiny shapes (cheap; real shapes come at apply time)
+    # template init on tiny shapes IN TRAINING MODE so every submodule
+    # (aligner, prosody encoders) materializes params — the checkpoint tree
+    # always has the full structure regardless of the restore context
     B, T_s, T_m = 1, 16, 64
+    learn_alignment = model_config["duration_modeling"]["learn_alignment"]
+    mode = "train_unsup" if learn_alignment else "train_sup"
+    pitch_type = preprocess_config["preprocessing"]["pitch"]["pitch_type"]
+    pitch_targets = {
+        "f0": jnp.full((B, T_m), 7.0), "uv": jnp.zeros((B, T_m)),
+    }
+    if pitch_type == "cwt":
+        pitch_targets.update(
+            cwt_spec=jnp.zeros((B, T_m, 10)),
+            f0_mean=jnp.full((B,), 5.0), f0_std=jnp.full((B,), 0.2))
+    durations = None
+    attn_priors = None
+    if learn_alignment:
+        attn_priors = jnp.full((B, T_m, T_s), 1.0 / T_s)
+    else:
+        durations = jnp.full((B, T_s), T_m // T_s, jnp.int32)
+        pitch_targets["mel2ph"] = jnp.repeat(
+            jnp.arange(1, T_s + 1)[None], T_m // T_s, axis=1)[:, :T_m]
     kwargs = dict(
         speakers=jnp.zeros((B,), jnp.int32),
         texts=jnp.ones((B, T_s), jnp.int32),
         src_lens=jnp.full((B,), T_s, jnp.int32),
-        mode="infer", max_mel_len=T_m, deterministic=True)
+        mode=mode, mels=jnp.zeros((B, T_m, preprocess_config[
+            "preprocessing"]["mel"]["n_mel_channels"])),
+        mel_lens=jnp.full((B,), T_m, jnp.int32),
+        pitch_targets=pitch_targets,
+        energy_targets=jnp.zeros(
+            (B, T_s if (not learn_alignment and preprocess_config[
+                "preprocessing"]["energy"]["feature"] == "phoneme_level")
+             else T_m)),
+        duration_targets=durations, attn_priors=attn_priors,
+        step=jnp.zeros((), jnp.int32), deterministic=True)
     if model_config["multi_speaker"] and \
             preprocess_config["preprocessing"].get(
                 "speaker_embedder", "none") != "none":
         kwargs["spker_embeds"] = jnp.zeros(
             (B, model_config["external_speaker_dim"]), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, **kwargs)
+    rngs = {"params": jax.random.PRNGKey(0), "lsh": jax.random.PRNGKey(1)}
+    if args_restore_step:
+        # restoring: only the tree structure/shapes are needed — eval_shape
+        # skips compiling the training graph
+        variables = jax.eval_shape(lambda: model.init(rngs, **kwargs))
+        variables = jax.tree.map(
+            lambda a: jnp.zeros(a.shape, a.dtype), variables)
+    else:
+        variables = model.init(rngs, **kwargs)
 
     enc_h, _ = block_hidden(model_config)
     tx, _ = build_optimizer(model_config, train_config, d_model=enc_h)

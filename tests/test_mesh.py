@@ -1,0 +1,70 @@
+"""Mesh parallelism correctness on the 8-virtual-device CPU backend:
+tensor-parallel sharding must not change the math."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from helpers import tiny_configs, synth_batch
+
+
+def _train_once(mesh_shape, seed=0):
+    from ctts_tpu.models.comp_trans_tts import CompTransTTS
+    from ctts_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from ctts_tpu.parallel.train_step import (create_train_state,
+                                              make_train_step)
+    from ctts_tpu.utils.optimizer import build_optimizer
+
+    data, model_axis = mesh_shape
+    mesh = make_mesh(data=data, model=model_axis)
+    pre, mod, tr = tiny_configs()
+    model = CompTransTTS(pre, mod, tr)
+    batch = synth_batch(B=4, T_s=12, T_m=32)
+    kwargs = dict(
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], mode="train_unsup",
+        mels=batch["mels"], mel_lens=batch["mel_lens"],
+        pitch_targets=batch["pitch_data"], energy_targets=batch["energies"],
+        duration_targets=None, attn_priors=batch["attn_priors"],
+        step=jnp.zeros((), jnp.int32), deterministic=True)
+    variables = model.init({"params": jax.random.PRNGKey(seed)}, **kwargs)
+    tx, _ = build_optimizer(mod, tr)
+    with mesh:
+        variables = shard_params(variables, mesh)
+        state = create_train_state(variables, tx)
+        db = shard_batch({k: v for k, v in batch.items()
+                          if k not in ("ids", "raw_texts")}, mesh)
+        step_fn = make_train_step(model, tx, pre, mod, tr, "train_unsup",
+                                  donate=False)
+        losses = []
+        for _ in range(2):
+            state, metrics = step_fn(state, db, jax.random.PRNGKey(1))
+            losses.append(float(metrics["total"]))
+    return losses
+
+
+def test_tensor_parallel_matches_data_parallel():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    dp = _train_once((4, 1))
+    tp = _train_once((4, 2))
+    np.testing.assert_allclose(dp, tp, rtol=2e-4)
+
+
+def test_param_sharding_rules_hit_ffn_and_attention():
+    from ctts_tpu.parallel.mesh import param_spec
+    import jax.tree_util as jtu
+
+    class K:                      # fake DictKey
+        def __init__(self, key):
+            self.key = key
+
+    leaf = np.zeros((9, 32, 128))
+    spec = param_spec([K("encoder"), K("fft"), K("layers_0"), K("ffn"),
+                       K("ffn_1"), K("Conv_0"), K("kernel")], leaf)
+    assert spec == jax.sharding.PartitionSpec(None, None, "model")
+    leaf_q = np.zeros((32, 2, 16))
+    spec_q = param_spec([K("encoder"), K("fft"), K("layers_0"),
+                         K("self_attn"), K("q"), K("kernel")], leaf_q)
+    assert spec_q == jax.sharding.PartitionSpec(None, "model", None)

@@ -20,7 +20,7 @@ def _train_once(mesh_shape, seed=0):
     mesh = make_mesh(data=data, model=model_axis)
     pre, mod, tr = tiny_configs()
     model = CompTransTTS(pre, mod, tr)
-    batch = synth_batch(B=4, T_s=12, T_m=32)
+    batch = synth_batch(B=8, T_s=12, T_m=32)
     kwargs = dict(
         speakers=batch["speakers"], texts=batch["texts"],
         src_lens=batch["src_lens"], mode="train_unsup",
@@ -47,7 +47,7 @@ def _train_once(mesh_shape, seed=0):
 def test_tensor_parallel_matches_data_parallel():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    dp = _train_once((4, 1))
+    dp = _train_once((8, 1))
     tp = _train_once((4, 2))
     np.testing.assert_allclose(dp, tp, rtol=2e-4)
 

@@ -2,7 +2,6 @@
 (reference surface: audio/tools.py, audio/audio_processing.py)."""
 
 import numpy as np
-import jax.numpy as jnp
 
 
 def get_mel_from_wav(audio, stft):

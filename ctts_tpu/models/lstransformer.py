@@ -17,7 +17,6 @@ The dead code after return (lstransformer.py:205-215) is not reproduced.
 import math
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -17,13 +17,13 @@ TPU-native re-design of the reference modules (model/modules.py:151-723):
 """
 
 import math
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ctts_tpu.models.blocks import ConvNorm, LayerNorm
+from ctts_tpu.models.blocks import ConvNorm
 
 
 # --------------------------------------------------------------------- #

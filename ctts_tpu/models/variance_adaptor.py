@@ -20,8 +20,6 @@ predictor by accident (no-op at model/modules.py:951); we apply the intended
 scaling, as for pitch/duration.
 """
 
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

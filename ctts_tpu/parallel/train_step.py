@@ -6,7 +6,6 @@ traced scalar inside the train state so schedule gates never retrace
 train.py:93-210).
 """
 
-from functools import partial
 from typing import Any
 
 import jax

@@ -8,10 +8,7 @@ shard-aware saves — the TPU-native upgrade over torch.save of state_dicts.
 
 import os
 
-import jax
 import orbax.checkpoint as ocp
-
-from ctts_tpu.parallel.train_step import TrainState
 
 
 def _manager(ckpt_dir, max_to_keep=None):

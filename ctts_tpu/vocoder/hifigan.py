@@ -10,7 +10,7 @@ time (utils/model.py:57-69 removes it), so plain convs match exactly.
 into this module's parameter tree for bit-level output parity.
 """
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -36,7 +36,10 @@ def main():
                                                 prepare_model_config)
     from ctts_tpu.vocoder.hifigan import HiFiGANGenerator, V1_CONFIG
 
-    B = int(os.environ.get("BENCH_B", 16))
+    # default serving batch: 128 utterances (throughput scales with batch —
+    # 16→300×, 32→408×, 64→628×, 128→923×, 256→1000× real time; BENCH_B
+    # overrides)
+    B = int(os.environ.get("BENCH_B", 128))
     T_s = 128
     HOP, SR = 256, 22050
     BUCKET = 128

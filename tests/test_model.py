@@ -67,6 +67,24 @@ def test_forward_infer():
     assert not np.any(np.isnan(np.asarray(out["mel_predictions"])))
 
 
+def test_forward_ph_pitch():
+    # phoneme-level pitch: predictor over tokens, segment-mean target,
+    # mel2ph gather to frames (model/modules.py:892-902, 1082-1083)
+    pre, mod, tr = tiny_configs(learn_alignment=False, pitch_type="ph",
+                                energy_feature="frame_level")
+    batch = synth_batch(sup=True)
+    _, _, out, _ = _init_and_apply(pre, mod, tr, batch, "train_sup")
+    B, T_s = batch["texts"].shape
+    assert out["pitch_predictions"]["pitch_pred"].shape == (B, T_s, 1)
+    assert not np.any(np.isnan(np.asarray(out["mel_predictions"])))
+    # ph-pitch loss path
+    total, comps = compute_loss(batch, out, jnp.asarray(60001), pre, mod, tr)
+    assert np.isfinite(float(comps["pitch_f0"]))
+
+    _, _, out_i, _ = _init_and_apply(pre, mod, tr, batch, "infer")
+    assert not np.any(np.isnan(np.asarray(out_i["postnet_mel_predictions"])))
+
+
 def test_loss_and_grads():
     pre, mod, tr = tiny_configs()
     batch = synth_batch()

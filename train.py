@@ -117,9 +117,13 @@ def main():
         done = False
         while not done:
             from ctts_tpu.data.dataset import prefetch_iter
+            # per-host sharding (DistributedSampler equivalent,
+            # reference train.py:44)
             for batch in prefetch_iter(
                     train_set.batches(epoch=epoch,
-                                      seed=train_config["seed"])):
+                                      seed=train_config["seed"],
+                                      num_shards=jax.process_count(),
+                                      shard=jax.process_index())):
                 raw_batch = batch
                 batch = shard_batch(_device_batch(batch), mesh)
                 if profile_range and step + 1 == profile_range[0]:

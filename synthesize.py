@@ -170,7 +170,9 @@ def main():
     parser.add_argument("--source", type=str, default=None,
                         help="metadata txt for batch mode")
     parser.add_argument("--text", type=str, default=None)
-    parser.add_argument("--speaker_id", type=int, default=0)
+    parser.add_argument("--speaker_id", type=str, default="0",
+                        help="speaker name (speakers.json key) for "
+                             "multi-speaker models")
     parser.add_argument("--dataset", type=str, required=True)
     parser.add_argument("--config_dir", type=str, default=None)
     parser.add_argument("--vocoder_ckpt", type=str, default="ckpt")
@@ -196,6 +198,7 @@ def main():
                 args.duration_control)
 
     if args.mode == "single":
+        import json
         ids = raw_texts = [args.text[:100]]
         language = preprocess_config["preprocessing"]["text"]["language"]
         if language == "en":
@@ -204,12 +207,25 @@ def main():
             seq = preprocess_mandarin(args.text, preprocess_config)
         else:
             raise ValueError(language)
+        # speaker info (reference synthesize.py:210-220): --speaker_id is a
+        # speakers.json key; the external embedding is loaded by that name
+        speaker_idx, spker_embed = 0, None
+        if model_config["multi_speaker"]:
+            pp = preprocess_config["path"]["preprocessed_path"]
+            with open(os.path.join(pp, "speakers.json")) as f:
+                speaker_map = json.load(f)
+            speaker_idx = speaker_map[args.speaker_id]
+            if preprocess_config["preprocessing"].get(
+                    "speaker_embedder", "none") != "none":
+                spker_embed = np.load(os.path.join(
+                    pp, "spker_embed",
+                    f"{args.speaker_id}-spker_embed.npy")).astype(np.float32)
         batch = {
             "ids": ids, "raw_texts": raw_texts,
-            "speakers": np.array([args.speaker_id], np.int32),
+            "speakers": np.array([speaker_idx], np.int32),
             "texts": seq[None].astype(np.int32),
             "src_lens": np.array([len(seq)], np.int32),
-            "spker_embeds": None,
+            "spker_embeds": spker_embed,
         }
         synthesize(model, variables, batch, configs, vocoder, controls,
                    result_dir)

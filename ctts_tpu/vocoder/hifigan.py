@@ -12,6 +12,7 @@ into this module's parameter tree for bit-level output parity.
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -63,7 +64,13 @@ class _ConvTranspose(nn.Module):
 
 
 class ResBlock1(nn.Module):
-    """MRF residual block (hifigan/models.py ResBlock1)."""
+    """MRF residual block (hifigan/models.py ResBlock1).
+
+    Parameters are stacked over dilations ([n_dil, k, C, C] kernels) so the
+    whole 6-conv chain can run as ONE Pallas kernel on TPU
+    (ops/fused_resblock.py) — one HBM read/write instead of twelve. Falls
+    back to XLA convs off-TPU or for wide channels.
+    """
     channels: int
     kernel_size: int
     dilations: Sequence[int]
@@ -71,15 +78,26 @@ class ResBlock1(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        for i, d in enumerate(self.dilations):
-            xt = nn.leaky_relu(x, LRELU_SLOPE)
-            xt = _Conv(self.channels, self.kernel_size, d,
-                       dtype=self.dtype, name=f"convs1_{i}")(xt)
-            xt = nn.leaky_relu(xt, LRELU_SLOPE)
-            xt = _Conv(self.channels, self.kernel_size, 1,
-                       dtype=self.dtype, name=f"convs2_{i}")(xt)
-            x = x + xt
-        return x
+        from ctts_tpu.ops.fused_resblock import (fused_resblock1,
+                                                 reference_resblock1,
+                                                 _INTERPRET)
+        C, k, nd = self.channels, self.kernel_size, len(self.dilations)
+        init = nn.initializers.normal(0.01)
+        w1 = self.param("w1", init, (nd, k, C, C))
+        b1 = self.param("b1", nn.initializers.zeros, (nd, C))
+        w2 = self.param("w2", init, (nd, k, C, C))
+        b2 = self.param("b2", nn.initializers.zeros, (nd, C))
+        import os
+        # Measured on v5e: XLA's dilated convs already run near the HBM
+        # roofline (e.g. 4.7 ms vs 8.9 ms fused at C=128/T=16k/B=16), so the
+        # fused kernel is opt-in for experimentation, not the default.
+        want_fuse = os.environ.get("CTTS_FUSE_RESBLOCK", "") == "1"
+        use_pallas = (want_fuse
+                      and (jax.default_backend() not in ("cpu",) or _INTERPRET)
+                      and C <= 128 and x.shape[1] % 128 == 0)
+        fn = fused_resblock1 if use_pallas else reference_resblock1
+        return fn(x, w1, b1, w2, b2, k,
+                  tuple(self.dilations)).astype(x.dtype)
 
 
 class HiFiGANGenerator(nn.Module):
@@ -151,15 +169,16 @@ def load_torch_generator(path):
             "kernel": convT_w(f"ups.{i}"), "bias": sd[f"ups.{i}.bias"]}}
     n_res = len(V1_CONFIG["resblock_kernel_sizes"])
     for r in range(n_ups * n_res):
-        blk = {}
-        for j in range(3):
-            blk[f"convs1_{j}"] = {"Conv_0": {
-                "kernel": conv_w(f"resblocks.{r}.convs1.{j}"),
-                "bias": sd[f"resblocks.{r}.convs1.{j}.bias"]}}
-            blk[f"convs2_{j}"] = {"Conv_0": {
-                "kernel": conv_w(f"resblocks.{r}.convs2.{j}"),
-                "bias": sd[f"resblocks.{r}.convs2.{j}.bias"]}}
-        params[f"resblocks_{r}"] = blk
+        params[f"resblocks_{r}"] = {
+            "w1": np.stack([conv_w(f"resblocks.{r}.convs1.{j}")
+                            for j in range(3)]),
+            "b1": np.stack([sd[f"resblocks.{r}.convs1.{j}.bias"]
+                            for j in range(3)]),
+            "w2": np.stack([conv_w(f"resblocks.{r}.convs2.{j}")
+                            for j in range(3)]),
+            "b2": np.stack([sd[f"resblocks.{r}.convs2.{j}.bias"]
+                            for j in range(3)]),
+        }
     params["conv_post"] = {"Conv_0": {
         "kernel": conv_w("conv_post"), "bias": sd["conv_post.bias"]}}
     return {"params": params}, dict(V1_CONFIG)

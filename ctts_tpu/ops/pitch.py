@@ -7,13 +7,17 @@ standard/log normalization with optional unvoiced masking. The offline
 :mod:`ctts_tpu.preprocessing.pitch`.
 """
 
+import math
+
 import jax.numpy as jnp
 
 F0_BIN = 256
 F0_MAX = 1100.0
 F0_MIN = 50.0
-_F0_MEL_MIN = 1127.0 * jnp.log(1.0 + F0_MIN / 700.0)
-_F0_MEL_MAX = 1127.0 * jnp.log(1.0 + F0_MAX / 700.0)
+# Plain-python constants: importing this module must never initialize a jax
+# backend (the driver's dryrun_multichip needs to pick the platform first).
+_F0_MEL_MIN = 1127.0 * math.log(1.0 + F0_MIN / 700.0)
+_F0_MEL_MAX = 1127.0 * math.log(1.0 + F0_MAX / 700.0)
 
 
 def f0_to_coarse(f0):

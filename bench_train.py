@@ -81,18 +81,47 @@ def main():
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     _ = float(metrics["total"])                     # compile + warmup
 
+    # analytic FLOPs from XLA's cost model for the whole compiled train step
+    # (fwd + bwd + optimizer), for an MFU figure against the chip's bf16 peak
+    flops = None
+    try:
+        cost = (step_fn.lower(state, batch, jax.random.PRNGKey(1))
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     iters = int(os.environ.get("BENCH_ITERS", 20))
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(os.path.join(
+            profile_dir, model_cfg["block_type"]))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     _ = float(metrics["total"])
     dt = (time.perf_counter() - t0) / iters
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     # reference: transformer_fs2 at bs16 = 4m53s / 1K steps (README.md:35)
     ref_s_per_1k = {"transformer_fs2": 293.0, "transformer": 291.0,
                     "fastformer": 285.0, "lstransformer": 326.0,
                     "conformer": 424.0, "reformer": 616.0}.get(
         model_cfg["block_type"])
+    # bf16 peak per chip: v5e (v5 lite) 197 TFLOP/s, v4 275, v5p 459
+    kind = jax.devices()[0].device_kind.lower()
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 0)) * 1e12
+    if not peak:
+        for tag, tflops in (("v5 lite", 197.0), ("v5e", 197.0),
+                            ("v5p", 459.0), ("v4", 275.0), ("v6", 918.0)):
+            if tag in kind:
+                peak = tflops * 1e12
+                break
+    mfu = (flops / dt / peak) if (flops and peak) else None
+
     out = {
         "metric": "train_step_ms",
         "value": round(dt * 1000, 2),
@@ -101,6 +130,9 @@ def main():
         "s_per_1k_steps": round(dt * 1000),
         "speedup_vs_reference_gpu": (round(ref_s_per_1k / (dt * 1000), 2)
                                      if ref_s_per_1k else None),
+        "tflops_per_step": round(flops / 1e12, 3) if flops else None,
+        "mfu_pct": round(100 * mfu, 2) if mfu else None,
+        "device_kind": kind,
     }
     print(json.dumps(out))
 

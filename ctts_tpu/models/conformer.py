@@ -53,13 +53,15 @@ class RelativeMultiHeadAttention(nn.Module):
         B, T, _ = x.shape
         H, Dh = self.num_heads, self.d_model // self.num_heads
         init = nn.initializers.xavier_uniform()
-        proj = lambda name, bias=True: nn.DenseGeneral(  # noqa: E731
-            (H, Dh), use_bias=bias, kernel_init=init, dtype=self.dtype,
+        # all four projections are LinearNorm with bias=False
+        # (conformer.py:379-382, blocks.py:162 default)
+        proj = lambda name: nn.DenseGeneral(  # noqa: E731
+            (H, Dh), use_bias=False, kernel_init=init, dtype=self.dtype,
             param_dtype=jnp.float32, name=name)
         q = proj("query_proj")(x)                         # [B, T, H, Dh]
         k = proj("key_proj")(x)
         v = proj("value_proj")(x)
-        pos = proj("pos_proj", bias=False)(pos_embedding)  # [B, T, H, Dh]
+        pos = proj("pos_proj")(pos_embedding)             # [B, T, H, Dh]
 
         u_bias = self.param("u_bias", init, (H, Dh))
         v_bias = self.param("v_bias", init, (H, Dh))
@@ -73,8 +75,9 @@ class RelativeMultiHeadAttention(nn.Module):
         attn = nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-        return nn.DenseGeneral(self.d_model, axis=(-2, -1), kernel_init=init,
-                               dtype=self.dtype, param_dtype=jnp.float32,
+        return nn.DenseGeneral(self.d_model, axis=(-2, -1), use_bias=False,
+                               kernel_init=init, dtype=self.dtype,
+                               param_dtype=jnp.float32,
                                name="out_proj")(ctx)
 
     @staticmethod

@@ -15,8 +15,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ctts_tpu.models.transformer import (_PositionwiseFF, _sinusoid_encoding,
-                                         _dtype_of)
+from ctts_tpu.models.lstransformer import _GeluFF
+from ctts_tpu.models.transformer import _sinusoid_encoding, _dtype_of
 from ctts_tpu.text.symbols import symbols
 
 
@@ -93,10 +93,12 @@ class FFTBlock(nn.Module):
             x = jnp.where(padding_mask[..., None], 0.0, x)
             h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
                              name=f"norm_ff_{i}")(x)
-            # reference PositionwiseFeedForward includes its own residual+LN
-            x = _PositionwiseFF(self.d_model, self.d_inner, self.kernel,
-                                self.dropout, self.dtype,
-                                name=f"ff_{i}")(h, deterministic) + x
+            # the fastformer file carries its own FFN: conv→gelu→conv→dropout
+            # with NO internal residual/LN (fastformer.py:348-376) — the
+            # residual is added here, outside the PreNorm wrapper
+            x = _GeluFF(self.d_model, self.d_inner, self.kernel,
+                        self.dropout, self.dtype,
+                        name=f"ff_{i}")(h, deterministic) + x
             x = jnp.where(padding_mask[..., None], 0.0, x)
         return x
 

@@ -44,18 +44,24 @@ def _look_one_back(x):
 
 
 def lsh_attention(qk, v, valid, rng, bucket_size=64, n_hashes=4,
-                  causal=True, dtype=jnp.float32):
+                  causal=True, dtype=jnp.float32, rot=None):
     """Shared-QK LSH attention (reformer.py:304-563).
 
     qk, v: [B, N, d]; valid: [B, N] bool. N must be a multiple of
-    2·bucket_size. Returns [B, N, d].
+    2·bucket_size. Returns [B, N, d]. `rot` optionally overrides the random
+    hash rotations [1, d, n_hashes, n_buckets//2] (used by parity tests to
+    drive both frameworks with identical hashes).
     """
     B, N, d = qk.shape
     n_buckets = N // bucket_size
     assert N % (bucket_size * 2) == 0
 
     # --- hashing: one random rotation set per round ---
-    rot = jax.random.normal(rng, (1, d, n_hashes, n_buckets // 2), qk.dtype)
+    if rot is None:
+        rot = jax.random.normal(rng, (1, d, n_hashes, n_buckets // 2),
+                                qk.dtype)
+    else:
+        rot = jnp.asarray(rot, qk.dtype)
     rotated = jnp.einsum("btf,bfhi->bhti",
                          qk, jnp.broadcast_to(rot, (B, d, n_hashes,
                                                     n_buckets // 2)))
@@ -118,6 +124,16 @@ def lsh_attention(qk, v, valid, rng, bucket_size=64, n_hashes=4,
     return jnp.sum(o * w, axis=1)
 
 
+def _look_back_padded(x, pad_value):
+    """[B, W, n, ...] → concat [current window, previous window] along axis
+    2, with window 0's look-back SYNTHETIC (pad_value), like the
+    local-attention library — NOT wrapped like the LSH sorted domain
+    (wrapping double-counts keys when W == 1)."""
+    pad = jnp.full_like(x[:, :1], pad_value)
+    prev = jnp.concatenate([pad, x[:, :-1]], axis=1)
+    return jnp.concatenate([x, prev], axis=2)
+
+
 def local_attention(qk, v, valid, window, causal=True):
     """Windowed shared-QK attention with one-window look-back
     (the reference's local_attention heads, reformer.py:643)."""
@@ -131,23 +147,27 @@ def local_attention(qk, v, valid, window, causal=True):
         return x.reshape(B, W, window, -1)
 
     bq = windows(qk)
-    bk = _look_one_back(windows(k))
-    bv = _look_one_back(windows(v))
+    bk = _look_back_padded(windows(k), 0.0)
+    bv = _look_back_padded(windows(v), 0.0)
     bq_t = windows(pos[..., None])[..., 0]
-    bkv_t = _look_one_back(windows(pos[..., None]))[..., 0]
+    bkv_t = _look_back_padded(windows(pos[..., None]), -1)[..., 0]
     mq = windows(valid[..., None].astype(jnp.int32))[..., 0].astype(bool)
-    mkv = _look_one_back(windows(valid[..., None]
-                                 .astype(jnp.int32)))[..., 0].astype(bool)
+    mkv = _look_back_padded(windows(valid[..., None].astype(jnp.int32)),
+                            0)[..., 0].astype(bool)
+    mkv = mkv & (bkv_t >= 0)                   # synthetic look-back padding
 
+    # mask order matches the local-attention library: self-value first, the
+    # validity mask LAST (so fully-masked padded query rows go uniform, not
+    # one-hot-on-self). Padded-row content matters: the next layer's LSH
+    # SORT interleaves padded with valid positions, so padded garbage must
+    # be bit-identical to the reference for deep-stack parity.
     dots = jnp.einsum("bwie,bwje->bwij", bq, bk) * (d ** -0.5)
-    dots = jnp.where(mq[:, :, :, None] & mkv[:, :, None, :], dots, NEG)
+    dots = jnp.where(bq_t[:, :, :, None] == bkv_t[:, :, None, :],
+                     SELF_ATTN_VAL, dots)
     if causal:
         dots = jnp.where(bq_t[:, :, :, None] < bkv_t[:, :, None, :], NEG,
                          dots)
-    # (window 0's look-back wraps to the last window; its positions are all
-    # in the future so the causal mask above already blocks them)
-    dots = jnp.where(bq_t[:, :, :, None] == bkv_t[:, :, None, :],
-                     SELF_ATTN_VAL, dots)
+    dots = jnp.where(mq[:, :, :, None] & mkv[:, :, None, :], dots, NEG)
     probs = jax.nn.softmax(dots, axis=-1)
     out = jnp.einsum("bwij,bwje->bwie", probs, bv)
     return out.reshape(B, N, d)
@@ -167,7 +187,7 @@ class LSHSelfAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, valid, deterministic=True):
+    def __call__(self, x, valid, deterministic=True, lsh_rot=None):
         B, N, _ = x.shape
         h, lh = self.heads, self.n_local_attn_heads
         inner = h * self.dim_head
@@ -197,7 +217,7 @@ class LSHSelfAttention(nn.Module):
         hvalid_lsh = jnp.repeat(valid, lsh_h, axis=0)
         lsh_out = lsh_attention(flat(qk, lsh_h), flat(v, lsh_h), hvalid_lsh,
                                 rng, self.bucket_size, self.n_hashes,
-                                self.causal, self.dtype)
+                                self.causal, self.dtype, rot=lsh_rot)
         lsh_out = lsh_out.reshape(B, lsh_h, N, self.dim_head)
         if lh > 0:
             hvalid_loc = jnp.repeat(valid, lh, axis=0)
@@ -226,7 +246,7 @@ class _FF(nn.Module):
     def __call__(self, x, deterministic=True):
         x = nn.Dense(self.dim * self.mult, dtype=self.dtype,
                      param_dtype=jnp.float32, name="w1")(x)
-        x = nn.gelu(x, approximate=True)
+        x = nn.gelu(x, approximate=False)   # torch nn.GELU = exact erf
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="w2")(x)
@@ -246,22 +266,25 @@ class Reformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, valid, deterministic=True):
+    def __call__(self, x, valid, deterministic=True, lsh_rot=None):
+        # weight_tie=True ties attn/ff across depth (reformer.py:946-947),
+        # but each depth keeps its OWN PreNorm LayerNorms (the residual
+        # wrapper is constructed per layer, reformer.py:952-968)
         attn = LSHSelfAttention(self.dim, self.heads, self.dim_head,
                                 self.bucket_size, self.n_hashes,
                                 self.n_local_attn_heads, causal=True,
                                 dropout=self.dropout, dtype=self.dtype,
                                 name="attn")
         ff = _FF(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")
-        norm_f = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
-                              name="norm_f")
-        norm_g = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
-                              name="norm_g")
 
         x1 = x2 = x
-        for _ in range(self.depth):
-            y1 = x1 + attn(norm_f(x2), valid, deterministic)
-            y2 = x2 + ff(norm_g(y1), deterministic)
+        for i in range(self.depth):
+            h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
+                             name=f"norm_f_{i}")(x2)
+            y1 = x1 + attn(h, valid, deterministic, lsh_rot=lsh_rot)
+            h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
+                             name=f"norm_g_{i}")(y1)
+            y2 = x2 + ff(h, deterministic)
             x1, x2 = y1, y2
         return (x1 + x2) * 0.5
 
@@ -271,7 +294,7 @@ class _Stack(nn.Module):
     side: str
 
     @nn.compact
-    def __call__(self, x, padding_mask, deterministic=True):
+    def __call__(self, x, padding_mask, deterministic=True, lsh_rot=None):
         tcfg = self.config["transformer"]
         rcfg = self.config["reformer"]
         d_model = tcfg[f"{self.side}_hidden"]
@@ -291,7 +314,8 @@ class _Stack(nn.Module):
             bucket_size=bucket, n_hashes=rcfg.get("n_hashes", 4),
             n_local_attn_heads=n_local,
             dropout=tcfg[f"{self.side}_dropout"], dtype=dtype,
-            name="reformer")(x.astype(dtype), valid, deterministic)
+            name="reformer")(x.astype(dtype), valid, deterministic,
+                             lsh_rot=lsh_rot)
         return out[:, :n].astype(jnp.float32)
 
 
@@ -300,7 +324,8 @@ class TextEncoder(nn.Module):
     config: dict
 
     @nn.compact
-    def __call__(self, txt_tokens, padding_mask, deterministic=True):
+    def __call__(self, txt_tokens, padding_mask, deterministic=True,
+                 lsh_rot=None):
         d_model = self.config["transformer"]["encoder_hidden"]
         T = txt_tokens.shape[1]
         src_word_emb = nn.Embed(len(symbols) + 1, d_model,
@@ -309,7 +334,8 @@ class TextEncoder(nn.Module):
         n_pos = max(self.config["max_seq_len"] + 1, T)
         x = src_word_emb + _sinusoid_encoding(n_pos, d_model)[None, :T]
         x = _Stack(self.config, "encoder", name="stack")(x, padding_mask,
-                                                         deterministic)
+                                                         deterministic,
+                                                         lsh_rot=lsh_rot)
         return x, src_word_emb
 
     @property
@@ -322,13 +348,14 @@ class Decoder(nn.Module):
     config: dict
 
     @nn.compact
-    def __call__(self, x, padding_mask, deterministic=True):
+    def __call__(self, x, padding_mask, deterministic=True, lsh_rot=None):
         d_model = self.config["transformer"]["decoder_hidden"]
         T = x.shape[1]
         n_pos = max(self.config["max_seq_len"] + 1, T)
         x = x + _sinusoid_encoding(n_pos, d_model)[None, :T]
         x = _Stack(self.config, "decoder", name="stack")(x, padding_mask,
-                                                         deterministic)
+                                                         deterministic,
+                                                         lsh_rot=lsh_rot)
         return x, padding_mask
 
     @property

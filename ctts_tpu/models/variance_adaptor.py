@@ -332,8 +332,10 @@ class VarianceAdaptor(nn.Module):
                     uv = (pitch_pred[:, :, 1] > 0).astype(jnp.float32)
             f0_denorm = denorm_f0(f0, uv, self.pitch_cfg,
                                   pitch_padding=pitch_padding)
+            # padded frames land in bin 1 (f0=0 via pitch_padding), NOT the
+            # zero row — the reference does the same (modules.py:934-938),
+            # and blocks that attend to padding (conformer) see that content
             pitch = f0_to_coarse(f0_denorm)
-            pitch = jnp.where(frame_mask, 0, pitch)
             pitch_embed = self.pitch_embed(pitch)
 
         predictions = {

@@ -85,6 +85,180 @@ def _pitch_predictor(sd, prefix, n_layers):
     }
 
 
+def _gelu_ff(sd, p):
+    """Conv-gelu-conv FFN shared by fastformer/lstransformer
+    (fastformer.py:348-376, lstransformer.py:397-425)."""
+    return {"w_1": {"Conv_0": {"kernel": _conv(sd[f"{p}.w_1.weight"]),
+                               "bias": _t(sd[f"{p}.w_1.bias"])}},
+            "w_2": {"Conv_0": {"kernel": _conv(sd[f"{p}.w_2.weight"]),
+                               "bias": _t(sd[f"{p}.w_2.bias"])}}}
+
+
+def _fastformer_stack(sd, prefix, n_layers):
+    """FFTBlock of PreNorm(FastAttention)+PreNorm(FFN) layers with the
+    q/k attention-logit projections weight-tied across layers
+    (fastformer.py:140-183)."""
+    def lin(p):
+        return {"kernel": _dense(sd[f"{p}.weight"]),
+                "bias": _t(sd[f"{p}.bias"])}
+
+    p0 = f"{prefix}.layers.0.0.fn"
+    out = {"to_q_attn_logits": lin(f"{p0}.to_q_attn_logits"),
+           "to_k_attn_logits": lin(f"{p0}.to_k_attn_logits")}
+    for i in range(n_layers):
+        p = f"{prefix}.layers.{i}"
+        out[f"norm_attn_{i}"] = _ln(sd, f"{p}.0.norm")
+        out[f"attn_{i}"] = {"query": lin(f"{p}.0.fn.query"),
+                            "key": lin(f"{p}.0.fn.key"),
+                            "transform": lin(f"{p}.0.fn.transform")}
+        out[f"norm_ff_{i}"] = _ln(sd, f"{p}.1.norm")
+        out[f"ff_{i}"] = _gelu_ff(sd, f"{p}.1.fn")
+    return out
+
+
+def _lstransformer_stack(sd, prefix, n_layers):
+    """FFTBlock of PreNorm(LongShortAttention)+PreNorm(FFN)
+    (lstransformer.py:175-204, 218-394)."""
+    out = {}
+    for i in range(n_layers):
+        p = f"{prefix}.layers.{i}"
+        a = f"{p}.0.fn"
+        out[f"norm_attn_{i}"] = _ln(sd, f"{p}.0.norm")
+        out[f"attn_{i}"] = {
+            "to_q": {"kernel": _dense(sd[f"{a}.to_q.weight"])},
+            "to_kv": {"kernel": _dense(sd[f"{a}.to_kv.weight"])},
+            "to_dynamic_proj": {"kernel": _dense(
+                sd[f"{a}.to_dynamic_proj.weight"])},
+            "local_norm": _ln(sd, f"{a}.local_norm"),
+            "global_norm": _ln(sd, f"{a}.global_norm"),
+            "to_out": {"kernel": _dense(sd[f"{a}.to_out.weight"]),
+                       "bias": _t(sd[f"{a}.to_out.bias"])},
+        }
+        out[f"norm_ff_{i}"] = _ln(sd, f"{p}.1.norm")
+        out[f"ff_{i}"] = _gelu_ff(sd, f"{p}.1.fn")
+    return out
+
+
+def _conformer_layer(sd, p, hidden, heads):
+    """One ConformerBlock (conformer.py:162-246). Returns (params, stats)."""
+    dh = hidden // heads
+
+    def ff(q):
+        return {
+            "LayerNorm_0": _ln(sd, f"{q}.0"),
+            "Dense_0": {"kernel": _dense(sd[f"{q}.1.linear.weight"]),
+                        "bias": _t(sd[f"{q}.1.linear.bias"])},
+            "Dense_1": {"kernel": _dense(sd[f"{q}.4.linear.weight"]),
+                        "bias": _t(sd[f"{q}.4.linear.bias"])},
+        }
+
+    def headed(name, shape):
+        return {"kernel": _dense(sd[name]).reshape(shape)}
+
+    a = f"{p}.sequential.1.module"
+    c = f"{p}.sequential.2.module.sequential"
+    params = {
+        "ff1": ff(f"{p}.sequential.0.module.sequential"),
+        "attn_norm": _ln(sd, f"{a}.layer_norm"),
+        "attn": {
+            "query_proj": headed(f"{a}.attention.query_proj.linear.weight",
+                                 (hidden, heads, dh)),
+            "key_proj": headed(f"{a}.attention.key_proj.linear.weight",
+                               (hidden, heads, dh)),
+            "value_proj": headed(f"{a}.attention.value_proj.linear.weight",
+                                 (hidden, heads, dh)),
+            "pos_proj": headed(f"{a}.attention.pos_proj.linear.weight",
+                               (hidden, heads, dh)),
+            "u_bias": _t(sd[f"{a}.attention.u_bias"]),
+            "v_bias": _t(sd[f"{a}.attention.v_bias"]),
+            "out_proj": headed(f"{a}.attention.out_proj.linear.weight",
+                               (heads, dh, hidden)),
+        },
+        "conv": {
+            "LayerNorm_0": _ln(sd, f"{c}.0"),
+            "pw1": {"kernel": _t(sd[f"{c}.2.conv.weight"])[:, :, 0].T,
+                    "bias": _t(sd[f"{c}.2.conv.bias"])},
+            "dw": {"kernel": _conv(sd[f"{c}.4.conv.weight"])},
+            "bn": {"scale": _t(sd[f"{c}.5.weight"]),
+                   "bias": _t(sd[f"{c}.5.bias"])},
+            "pw2": {"kernel": _t(sd[f"{c}.7.conv.weight"])[:, :, 0].T,
+                    "bias": _t(sd[f"{c}.7.conv.bias"])},
+        },
+        "ff2": ff(f"{p}.sequential.3.module.sequential"),
+        "final_norm": _ln(sd, f"{p}.sequential.4"),
+    }
+    stats = {"conv": {"bn": {"mean": _t(sd[f"{c}.5.running_mean"]),
+                             "var": _t(sd[f"{c}.5.running_var"])}}}
+    return params, stats
+
+
+def _conformer_stack(sd, prefix, n_layers, hidden, heads):
+    params, stats = {}, {}
+    for i in range(n_layers):
+        p, s = _conformer_layer(sd, f"{prefix}.{i}", hidden, heads)
+        params[f"layer_stack_{i}"] = p
+        stats[f"layer_stack_{i}"] = s
+    return params, stats
+
+
+def _reformer_stack(sd, prefix, depth):
+    """Weight-tied Reformer: one attn + one ff shared across depth, one
+    pair of PreNorm LayerNorms per depth (reformer.py:931-977). Reads the
+    plain (irreversible) registration of the same modules."""
+    p0 = f"{prefix}.layers.irrev_blocks.0"
+    out = {
+        "attn": {
+            "toqk": {"kernel": _dense(sd[f"{p0}.f.fn.toqk.weight"])},
+            "tov": {"kernel": _dense(sd[f"{p0}.f.fn.tov.weight"])},
+            "to_out": {"kernel": _dense(sd[f"{p0}.f.fn.to_out.weight"]),
+                       "bias": _t(sd[f"{p0}.f.fn.to_out.bias"])},
+        },
+        "ff": {
+            "w1": {"kernel": _dense(sd[f"{p0}.g.fn.fn.w1.weight"]),
+                   "bias": _t(sd[f"{p0}.g.fn.fn.w1.bias"])},
+            "w2": {"kernel": _dense(sd[f"{p0}.g.fn.fn.w2.weight"]),
+                   "bias": _t(sd[f"{p0}.g.fn.fn.w2.bias"])},
+        },
+    }
+    for i in range(depth):
+        pi = f"{prefix}.layers.irrev_blocks.{i}"
+        out[f"norm_f_{i}"] = _ln(sd, f"{pi}.f.norm")
+        out[f"norm_g_{i}"] = _ln(sd, f"{pi}.g.norm")
+    return out
+
+
+def import_block_params(sd, model_config, side, prefix=""):
+    """Map one reference TextEncoder/Decoder state_dict slice onto this
+    framework's encoder/decoder param tree. `side` is "encoder"/"decoder";
+    `prefix` is ""/"encoder."/"decoder." depending on whether `sd` is a
+    block-level or full-model state_dict. Returns (params, batch_stats)."""
+    block = model_config["block_type"]
+    stats = {}
+    if block in ("fastformer", "lstransformer"):
+        cfg = model_config["transformer"]
+        stack_fn = (_fastformer_stack if block == "fastformer"
+                    else _lstransformer_stack)
+        params = {"layer_stack": stack_fn(sd, f"{prefix}layer_stack",
+                                          cfg[f"{side}_layer"])}
+    elif block == "conformer":
+        cfg = model_config["conformer"]
+        sp, ss = _conformer_stack(sd, f"{prefix}layer_stack",
+                                  cfg[f"{side}_layer"],
+                                  cfg[f"{side}_hidden"], cfg[f"{side}_head"])
+        params = {"stack": sp}
+        stats = {"stack": ss}
+    elif block == "reformer":
+        params = {"stack": {"reformer": _reformer_stack(
+            sd, f"{prefix}layer_stack.net",
+            model_config["reformer"]["depth"])}}
+    else:
+        raise ValueError(block)
+    if side == "encoder":
+        params["src_word_emb"] = {"embedding": _t(
+            sd[f"{prefix}src_word_emb.weight"])}
+    return params, stats
+
+
 def _classic_layer(sd, p, hidden, heads):
     """One classic FFTBlock (transformer.py:157-288)."""
     dh = hidden // heads
@@ -118,16 +292,21 @@ def import_reference_checkpoint(state_dict, preprocess_config, model_config):
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
           for k, v in state_dict.items()}
     block = model_config["block_type"]
-    assert block in ("transformer_fs2", "transformer"), \
-        "importer covers transformer_fs2 and transformer"
-    cfg = model_config[block]
+    cfg = model_config.get(block) or model_config["transformer"]
     vp = model_config["variance_predictor"]
     enc_h = cfg["encoder_hidden"]
 
     params = {}
     stats = {}
 
-    if block == "transformer_fs2":
+    if block in ("fastformer", "lstransformer", "conformer", "reformer"):
+        for side in ("encoder", "decoder"):
+            p, s = import_block_params(sd, model_config, side,
+                                       prefix=f"{side}.")
+            params[side] = p
+            if s:
+                stats[side] = s
+    elif block == "transformer_fs2":
         params["encoder"] = {
             "embed_tokens": {"embedding": _t(
                 sd["encoder.embed_tokens.weight"])},

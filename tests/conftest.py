@@ -18,4 +18,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# tests exercise the DeepSpeaker pipeline without the external pretrained
+# .h5 (random-net features are fine as consistent per-speaker signatures);
+# production preprocessing fails loudly without this opt-in
+os.environ.setdefault("CTTS_ALLOW_RANDOM_SPEAKER", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -97,6 +97,79 @@ class EnergyPredictor(PitchPredictor):
     pass
 
 
+class _ARCell(nn.Module):
+    """One AR step: GRU over [conv feature ‖ previous-frame f0] + linear
+    head. `teacher_forced` picks the forced f0 stream over the fed-back
+    prediction; both variants share parameters (the flag is static per
+    mode, so train/infer are separate compilations of the same weights)."""
+    n_chans: int
+    odim: int
+    teacher_forced: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        state, prev = carry                     # [B, C], [B]
+        feat_t, forced_t = xs                   # [B, C], [B]
+        if self.teacher_forced:
+            prev = forced_t
+        inp = jnp.concatenate(
+            [feat_t, prev[:, None].astype(feat_t.dtype)], axis=-1)
+        state, y = nn.GRUCell(self.n_chans, dtype=self.dtype,
+                              param_dtype=jnp.float32, name="gru")(state, inp)
+        out = nn.Dense(self.odim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="head")(y).astype(jnp.float32)
+        return (state, out[:, 0]), out
+
+
+class PitchPredictorAR(nn.Module):
+    """Autoregressive frame-pitch head.
+
+    The reference enables this branch for `pitch_ar: True`
+    (model/modules.py:922-925) but passes the f0 tensor into
+    PitchPredictor.forward's `squeeze` positional slot — there is no AR
+    model behind it (latent bug; it merely squeezes the output). This is
+    the *intended* semantics: the PitchPredictor conv trunk summarizes the
+    decoder input, then a GRU predicts frame t conditioned on f0_{t-1} —
+    teacher-forced during training, fed back through a single lax.scan at
+    inference (static shapes; one compile per mode)."""
+    odim: int = 2
+    n_layers: int = 2
+    n_chans: int = 256
+    kernel_size: int = 5
+    dropout_rate: float = 0.5
+    padding: str = "SAME"
+    max_positions: int = 4096
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask, f0=None, deterministic=True):
+        alpha = self.param("pos_embed_alpha", nn.initializers.ones, (1,),
+                           jnp.float32)
+        pos = SinusoidalPositionalEmbedding(
+            x.shape[-1], self.max_positions, self.dtype)(padding_mask)
+        x = x + alpha * pos
+        h = _ConvStack(self.n_layers, self.n_chans, self.kernel_size,
+                       self.dropout_rate, self.padding, self.dtype,
+                       name="conv")(x, None, deterministic)
+
+        B, T = x.shape[0], x.shape[1]
+        teacher = f0 is not None
+        if teacher:                 # shift right: frame t sees target t-1
+            forced = jnp.pad(f0[:, :-1], ((0, 0), (1, 0)))
+        else:
+            forced = jnp.zeros((B, T), jnp.float32)
+        scan = nn.scan(_ARCell, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True},
+                       in_axes=1, out_axes=1)
+        cell = scan(self.n_chans, self.odim, teacher_forced=teacher,
+                    dtype=self.dtype, name="ar")
+        carry0 = (jnp.zeros((B, self.n_chans), self.dtype),
+                  jnp.zeros((B,), jnp.float32))
+        _, out = cell(carry0, (h, forced))
+        return out                                 # [B, T, odim], fp32
+
+
 class CwtStatsLayers(nn.Module):
     """MLP predicting per-utterance (f0_mean, f0_std) from the first encoder
     frame (model/modules.py:773-776)."""

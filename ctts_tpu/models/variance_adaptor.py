@@ -27,7 +27,7 @@ from flax import linen as nn
 from ctts_tpu.models.aligner import AlignmentEncoder
 from ctts_tpu.models.predictors import (CwtStatsLayers, DurationPredictor,
                                         EnergyPredictor, PitchPredictor,
-                                        grad_scale)
+                                        PitchPredictorAR, grad_scale)
 from ctts_tpu.models.prosody import (DuProsodyExtractor, DuProsodyPredictor,
                                      LiuProsody)
 from ctts_tpu.ops.cwt import cwt2f0_norm
@@ -54,6 +54,7 @@ class VarianceAdaptor(nn.Module):
         self.predictor_grad = vp["predictor_grad"]
         self.pitch_cfg = pc["preprocessing"]["pitch"]
         self.pitch_type = self.pitch_cfg["pitch_type"]
+        self.pitch_ar = bool(self.pitch_cfg.get("pitch_ar", False))
         self.use_uv = self.pitch_cfg["use_uv"]
         self.energy_feature_level = pc["preprocessing"]["energy"]["feature"]
         self.model_type = mc["prosody_modeling"]["model_type"]
@@ -77,6 +78,19 @@ class VarianceAdaptor(nn.Module):
                     dropout_rate=vp["dropout"], padding=vp["ffn_padding"],
                     name="cwt_predictor")
                 self.cwt_stats_layers = CwtStatsLayers(hidden=h)
+            elif self.pitch_ar:
+                # intended semantics of the reference's broken pitch_ar
+                # branch (modules.py:922-925) — see PitchPredictorAR
+                if self.pitch_type != "frame":
+                    raise ValueError(
+                        "pitch_ar requires pitch_type 'frame' "
+                        f"(got {self.pitch_type!r}); the reference only "
+                        "reaches its pitch_ar branch for frame pitch")
+                self.pitch_predictor = PitchPredictorAR(
+                    odim=2,
+                    n_layers=vp["predictor_layers"], n_chans=vp["filter_size"],
+                    kernel_size=vp["predictor_kernel"],
+                    dropout_rate=vp["dropout"], padding=vp["ffn_padding"])
             else:
                 self.pitch_predictor = PitchPredictor(
                     odim=2 if self.pitch_type == "frame" else 1,
@@ -323,6 +337,18 @@ class VarianceAdaptor(nn.Module):
                                      decoder_inp.shape[1], self.pitch_cfg)
                     if self.use_uv:
                         uv = (cwt[:, :, -1] > 0).astype(jnp.float32)
+            elif self.pitch_ar:    # frame, autoregressive
+                # teacher-forced on the target only in training, like the
+                # reference's `f0 if self.training else None`
+                # (modules.py:923)
+                pitch_pred = self.pitch_predictor(
+                    inp, frame_mask,
+                    f0=None if deterministic else f0,
+                    deterministic=deterministic) * control
+                if f0 is None:
+                    f0 = pitch_pred[:, :, 0]
+                if self.use_uv and uv is None:
+                    uv = (pitch_pred[:, :, 1] > 0).astype(jnp.float32)
             else:  # frame
                 pitch_pred = self.pitch_predictor(
                     inp, frame_mask, deterministic=deterministic) * control

@@ -105,27 +105,43 @@ def extract_f0_autocorr(wav, sampling_rate, hop_length, f0_min=80.0,
     lag_max = min(int(sampling_rate / f0_min), frame_len - 1)
     n_frames = len(wav) // hop_length
     f0 = np.zeros(n_frames, np.float32)
-    pad = np.pad(wav, (frame_len // 2, frame_len))
+    pad = np.pad(wav, (frame_len // 2, frame_len + lag_max))
     for i in range(n_frames):
-        frame = pad[i * hop_length: i * hop_length + frame_len]
-        frame = frame - frame.mean()
-        energy = np.sum(frame * frame)
-        if energy < 1e-8:
+        # true (unbiased) YIN difference over a fixed comparison window:
+        # d(τ) = Σ_{t<W} (x[t] − x[t+τ])² — the biased-autocorrelation
+        # shortcut 2(r0 − rτ) tapers with τ and drags the dip toward
+        # shorter lags (≈1.5% sharp at 100 Hz / 40 ms)
+        seg = pad[i * hop_length: i * hop_length + frame_len + lag_max]
+        seg = seg - seg.mean()
+        win = seg[:frame_len]
+        e0 = np.dot(win, win)
+        if e0 < 1e-8:
             continue
-        # difference function via autocorrelation
-        ac = np.correlate(frame, frame, mode="full")[frame_len - 1:]
-        d = 2 * (ac[0] - ac)
+        corr = np.correlate(seg, win, mode="valid")    # c(τ), τ=0..lag_max
+        sq = np.concatenate(([0.0], np.cumsum(seg * seg)))
+        e_tau = sq[np.arange(lag_max + 1) + frame_len] - \
+            sq[np.arange(lag_max + 1)]                 # Σ_{t<W} x[t+τ]²
+        d = e0 + e_tau - 2.0 * corr
         # cumulative mean normalized difference
-        cum = np.cumsum(d[1:]) / np.maximum(np.arange(1, frame_len), 1)
-        cmnd = np.ones(frame_len)
+        cum = np.cumsum(d[1:]) / np.arange(1, lag_max + 1)
+        cmnd = np.ones(lag_max + 1)
         cmnd[1:] = d[1:] / np.maximum(cum, 1e-12)
-        seg = cmnd[lag_min:lag_max]
-        if seg.size == 0:
+        window = cmnd[lag_min:lag_max]
+        if window.size == 0:
             continue
-        best = np.argmin(seg) + lag_min
+        # YIN absolute-threshold rule: the FIRST dip below threshold, walked
+        # to its local minimum — the global argmin often sits on a period
+        # multiple (subharmonic/octave-down errors)
+        below = np.nonzero(window < voicing_threshold)[0]
+        if below.size:
+            best = below[0] + lag_min
+            while best + 1 < lag_max and cmnd[best + 1] < cmnd[best]:
+                best += 1
+        else:
+            best = int(np.argmin(window)) + lag_min
         if cmnd[best] < voicing_threshold:
             # parabolic interpolation around the minimum
-            if 0 < best < frame_len - 1:
+            if 0 < best < lag_max:
                 a, b, c = cmnd[best - 1], cmnd[best], cmnd[best + 1]
                 denom = a - 2 * b + c
                 shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0

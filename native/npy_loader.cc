@@ -45,8 +45,13 @@ struct Array {
 };
 
 int dtype_code(const std::string& descr) {
-  // descr like "<f4", "|u1", "<i8"
+  // descr like "<f4", "|u1", "<i8"; big-endian ('>') is not supported —
+  // the buffer is handed to numpy as native little-endian.
   if (descr.size() < 2) return -1;
+  if (descr.size() >= 3 && descr[0] != '<' && descr[0] != '|' &&
+      descr[0] != '=') {
+    return -1;
+  }
   const std::string t = descr.substr(descr.size() - 2);
   if (t == "f4") return 0;
   if (t == "f8") return 1;

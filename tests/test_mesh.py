@@ -9,16 +9,17 @@ import pytest
 from helpers import tiny_configs, synth_batch
 
 
-def _train_once(mesh_shape, seed=0):
+def _train_once(mesh_shape, seed=0, block_type="transformer_fs2"):
     from ctts_tpu.models.comp_trans_tts import CompTransTTS
-    from ctts_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from ctts_tpu.parallel.mesh import (make_mesh, shard_batch, shard_params,
+                                        check_tp_coverage)
     from ctts_tpu.parallel.train_step import (create_train_state,
                                               make_train_step)
     from ctts_tpu.utils.optimizer import build_optimizer
 
     data, model_axis = mesh_shape
     mesh = make_mesh(data=data, model=model_axis)
-    pre, mod, tr = tiny_configs()
+    pre, mod, tr = tiny_configs(block_type=block_type)
     model = CompTransTTS(pre, mod, tr)
     batch = synth_batch(B=8, T_s=12, T_m=32)
     kwargs = dict(
@@ -31,6 +32,8 @@ def _train_once(mesh_shape, seed=0):
     variables = model.init({"params": jax.random.PRNGKey(seed)}, **kwargs)
     tx, _ = build_optimizer(mod, tr)
     with mesh:
+        if model_axis > 1:
+            check_tp_coverage(variables, mesh, block_type)
         variables = shard_params(variables, mesh)
         state = create_train_state(variables, tx)
         db = shard_batch({k: v for k, v in batch.items()
@@ -44,12 +47,30 @@ def _train_once(mesh_shape, seed=0):
     return losses
 
 
-def test_tensor_parallel_matches_data_parallel():
+@pytest.mark.parametrize("block_type", [
+    "transformer_fs2", "transformer", "fastformer", "lstransformer",
+    "conformer", "reformer"])
+def test_tensor_parallel_matches_data_parallel(block_type):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    dp = _train_once((8, 1))
-    tp = _train_once((4, 2))
-    np.testing.assert_allclose(dp, tp, rtol=2e-4)
+    dp = _train_once((8, 1), block_type=block_type)
+    tp = _train_once((4, 2), block_type=block_type)
+    np.testing.assert_allclose(dp, tp, rtol=5e-4)
+
+
+def test_tp_coverage_guard_rejects_unruled_params():
+    """model>1 with zero TP-rule hits must fail fast, not silently
+    replicate."""
+    from ctts_tpu.parallel.mesh import make_mesh, check_tp_coverage
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(data=len(jax.devices()) // 2, model=2)
+    fake = {"params": {"some_layer": {"kernel": np.zeros((8, 8))}}}
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        check_tp_coverage(fake, mesh, "nothing_matches")
+    # and a dp-only mesh never raises
+    dp_mesh = make_mesh(data=len(jax.devices()), model=1)
+    assert check_tp_coverage(fake, dp_mesh) == 0
 
 
 def test_param_sharding_rules_hit_ffn_and_attention():

@@ -137,3 +137,50 @@ def test_duration_control():
     out2, _ = model.apply(variables, mutable=["batch_stats"], **kwargs2)
     assert np.asarray(out2["mel_lens"]).sum() >= \
         np.asarray(out1["mel_lens"]).sum()
+
+
+def test_pitch_ar():
+    """AR frame pitch (intended semantics of the reference's latently
+    broken pitch_ar branch, modules.py:922-925): teacher-forced in
+    training, scan feedback at inference, grads flow through the GRU."""
+    pre, mod, tr = tiny_configs(learn_alignment=False, pitch_type="frame",
+                                energy_feature="frame_level")
+    pre["preprocessing"]["pitch"]["pitch_ar"] = True
+    batch = synth_batch(sup=True)
+    model, variables, out, kwargs = _init_and_apply(pre, mod, tr, batch,
+                                                    "train_sup")
+    B, T_m, _ = batch["mels"].shape
+    assert out["pitch_predictions"]["pitch_pred"].shape == (B, T_m, 2)
+    assert not np.any(np.isnan(np.asarray(out["mel_predictions"])))
+    # AR cell params exist and receive gradient
+    assert any("ar" in "/".join(map(str, p)) and "gru" in
+               "/".join(map(str, p))
+               for p, _ in jax.tree_util.tree_leaves_with_path(
+                   variables["params"]))
+
+    def loss_fn(params):
+        outputs, _ = model.apply(
+            {"params": params}, mutable=["batch_stats"],
+            **{**kwargs, "deterministic": False},
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        total, _ = compute_loss(batch, outputs, kwargs["step"], pre, mod, tr)
+        return total
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    ar_grads = [np.abs(np.asarray(g)).sum()
+                for p, g in jax.tree_util.tree_leaves_with_path(grads)
+                if "ar" in "/".join(str(k.key) for k in p)]
+    assert ar_grads and sum(ar_grads) > 0
+
+    # inference free-runs the scan
+    _, _, out_i, _ = _init_and_apply(pre, mod, tr, batch, "infer")
+    assert not np.any(np.isnan(np.asarray(out_i["postnet_mel_predictions"])))
+
+
+def test_pitch_ar_rejects_ph():
+    pre, mod, tr = tiny_configs(learn_alignment=False, pitch_type="ph",
+                                energy_feature="frame_level")
+    pre["preprocessing"]["pitch"]["pitch_ar"] = True
+    batch = synth_batch(sup=True)
+    with pytest.raises(ValueError, match="pitch_ar"):
+        _init_and_apply(pre, mod, tr, batch, "train_sup")

@@ -36,13 +36,24 @@ def main():
                         help="START:END step range to capture a jax.profiler"
                              " trace into log_path/profile")
     parser.add_argument("--vocoder_ckpt", type=str, default="ckpt")
+    # multi-host launch (one process per host; reference mp.spawn/DDP
+    # equivalent, ref train.py:30-35). Also settable via CTTS_COORDINATOR /
+    # CTTS_NUM_PROCESSES / CTTS_PROCESS_ID env vars.
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 for multi-host runs")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
+
+    from ctts_tpu.parallel.mesh import init_distributed
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     from ctts_tpu.config import get_configs_of
     from ctts_tpu.data.dataset import Dataset
     from ctts_tpu.models.comp_trans_tts import (CompTransTTS,
                                                 prepare_model_config)
-    from ctts_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from ctts_tpu.parallel.mesh import (make_mesh, shard_batch, shard_params,
+                                        check_tp_coverage)
     from ctts_tpu.parallel.train_step import (create_train_state,
                                               make_eval_step, make_train_step)
     from ctts_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
@@ -83,6 +94,7 @@ def main():
           f"pitch={preprocess_config['preprocessing']['pitch']['pitch_type']}")
 
     with mesh:
+        check_tp_coverage(variables, mesh, model_config["block_type"])
         variables = shard_params(variables, mesh)
         state = create_train_state(variables, tx)
         ckpt_dir = train_config["path"]["ckpt_path"]
@@ -154,15 +166,28 @@ def main():
                     _validate(val_set, state, eval_step, mesh, val_logger,
                               step)
                 if step % save_step == 0:
-                    save_checkpoint(ckpt_dir, jax.device_get(state), step)
+                    _save_ckpt(save_checkpoint, ckpt_dir, state, step)
                     print(f"saved checkpoint @ {step}")
                 if step >= total_step:
                     done = True
                     break
             epoch += 1
-        save_checkpoint(ckpt_dir, jax.device_get(state), step)
+        _save_ckpt(save_checkpoint, ckpt_dir, state, step)
         train_logger.close()
         val_logger.close()
+
+
+def _save_ckpt(save_checkpoint, ckpt_dir, state, step):
+    """Multihost-safe save: gather sharded leaves to every host, write from
+    process 0 only (single-process path is a plain device_get)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        state = multihost_utils.process_allgather(state, tiled=True)
+        if jax.process_index() != 0:
+            return
+    else:
+        state = jax.device_get(state)
+    save_checkpoint(ckpt_dir, state, step)
 
 
 def _model_kwargs(batch, mode):

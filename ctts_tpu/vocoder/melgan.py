@@ -104,9 +104,16 @@ def load_torch_melgan(path, ratios=(8, 8, 2, 2), n_residual_layers=3):
     """Port a descript melgan-neurips generator checkpoint.
 
     The torch generator is one nn.Sequential
-    [pad, conv_in, (lrelu, convT, res×3) per ratio, lrelu, pad, conv_out,
-    tanh]; ResnetBlock holds .block.{2,4} convs and .shortcut.
+    [pad, conv_in, (lrelu, convT, res×N) per ratio, lrelu, pad, conv_out,
+    tanh]; ResnetBlock holds .block.{2,4} convs and .shortcut. The
+    Sequential indices are NOT hardcoded — they are recovered from the
+    state_dict itself (resblocks are the indices with `.block.` children;
+    the remaining weight-bearing indices are conv_in, the upsamplers, and
+    conv_out in order), so torch.hub revisions that shift padding/activation
+    slots still import. Structural mismatches raise with the discovered
+    layout instead of an opaque KeyError.
     """
+    import re as _re
     import torch
     sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and not any(hasattr(v, "numpy")
@@ -115,35 +122,59 @@ def load_torch_melgan(path, ratios=(8, 8, 2, 2), n_residual_layers=3):
     sd = {k.replace("model.", "", 1) if k.startswith("model.") else k:
           np.asarray(v) for k, v in sd.items()}
 
+    def _err(msg):
+        sample = "\n  ".join(sorted(sd)[:14])
+        raise ValueError(
+            f"melgan import: {msg}\nThis importer expects the "
+            "descript/melgan-neurips generator layout (torch.hub "
+            "'descript/melgan-neurips', load_melgan). First checkpoint "
+            f"keys:\n  {sample}\n({len(sd)} keys total)")
+
+    def _get(key):
+        if key not in sd:
+            _err(f"missing key {key!r}")
+        return sd[key]
+
     def fold(prefix):
         if f"{prefix}.weight" in sd:
             return sd[f"{prefix}.weight"]
-        g, v = sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"]
+        g, v = _get(f"{prefix}.weight_g"), _get(f"{prefix}.weight_v")
         return g * v / np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
 
     def conv(prefix):                # torch [out,in,k] → flax [k,in,out]
         return {"kernel": np.transpose(fold(prefix), (2, 1, 0)),
-                "bias": sd[f"{prefix}.bias"]}
+                "bias": _get(f"{prefix}.bias")}
 
-    def convT(prefix):               # torch [in,out,k] → flax [k,out,in]
-        return {"kernel": np.transpose(fold(prefix), (2, 1, 0)),
-                "bias": sd[f"{prefix}.bias"]}
+    convT = conv                     # torch [in,out,k] → flax [k,out,in]
 
-    params = {"conv_in": {"Conv_0": conv("1")}}
-    i = 2
-    for u, _r in enumerate(ratios):
-        i += 1                       # lrelu
-        params[f"up_{u}"] = {"ConvTranspose_0": convT(str(i))}
-        i += 1
-        for j in range(n_residual_layers):
+    # recover the Sequential layout from the keys
+    weighted = sorted({int(m.group(1)) for k in sd
+                       if (m := _re.match(r"^(\d+)\.(weight|weight_g)$", k))})
+    res_idx = sorted({int(m.group(1)) for k in sd
+                      if (m := _re.match(r"^(\d+)\.block\.", k))})
+    if len(weighted) < 3:
+        _err(f"found only {len(weighted)} plain conv indices {weighted}")
+    conv_in_i, conv_out_i = weighted[0], weighted[-1]
+    up_is = weighted[1:-1]
+    if len(up_is) != len(ratios):
+        _err(f"found {len(up_is)} upsample convs at indices {up_is} but "
+             f"{len(ratios)} ratios {tuple(ratios)} were requested")
+    groups = [[r for r in res_idx if up < r < nxt]
+              for up, nxt in zip(up_is, up_is[1:] + [conv_out_i])]
+    if any(len(g) != n_residual_layers for g in groups):
+        _err(f"residual blocks per stage {[len(g) for g in groups]} != "
+             f"n_residual_layers={n_residual_layers}")
+
+    params = {"conv_in": {"Conv_0": conv(str(conv_in_i))}}
+    for u, (up, group) in enumerate(zip(up_is, groups)):
+        params[f"up_{u}"] = {"ConvTranspose_0": convT(str(up))}
+        for j, ri in enumerate(group):
             params[f"res_{u}_{j}"] = {
-                "block_conv": {"Conv_0": conv(f"{i}.block.2")},
-                "block_out": conv(f"{i}.block.4"),
-                "shortcut": conv(f"{i}.shortcut"),
+                "block_conv": {"Conv_0": conv(f"{ri}.block.2")},
+                "block_out": conv(f"{ri}.block.4"),
+                "shortcut": conv(f"{ri}.shortcut"),
             }
-            i += 1
-    i += 2                           # lrelu, pad
-    params["conv_out"] = {"Conv_0": conv(str(i))}
+    params["conv_out"] = {"Conv_0": conv(str(conv_out_i))}
     return {"params": params}
 
 

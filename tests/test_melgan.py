@@ -71,3 +71,22 @@ def test_melgan_matches_torch(tmp_path):
     got = np.asarray(model.apply(variables, jnp.asarray(mel)))
     assert got.shape == ref.shape == (2, 23 * 256)
     np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_melgan_import_rejects_wrong_layout(tmp_path):
+    """A non-descript state_dict must raise a descriptive ValueError (not an
+    opaque KeyError) naming the discovered layout."""
+    from ctts_tpu.vocoder.melgan import load_torch_melgan
+    bogus = {"encoder.0.weight": torch.randn(4, 4, 3),
+             "decoder.0.weight": torch.randn(4, 4, 3)}
+    p = str(tmp_path / "bogus.pt")
+    torch.save(bogus, p)
+    with pytest.raises(ValueError, match="melgan import"):
+        load_torch_melgan(p)
+
+    # right family, wrong stage count: 2 upsamplers but 4 ratios requested
+    trunk = _torch_melgan(ratios=(8, 8))
+    p2 = str(tmp_path / "two_stage.pt")
+    torch.save(trunk.state_dict(), p2)
+    with pytest.raises(ValueError, match="upsample convs"):
+        load_torch_melgan(p2, ratios=(8, 8, 2, 2))

@@ -138,3 +138,67 @@ def test_train_loop_e2e(tmp_path, sup):
     a = jax.tree.leaves(restored.params)[0]
     b = jax.tree.leaves(state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_cli_restore_path(tmp_path):
+    """The evaluate.py surface end-to-end: train briefly, save a step-keyed
+    checkpoint into the configured ckpt_path, then drive get_model(
+    restore_step) + evaluate() exactly as evaluate.main() does
+    (reference evaluate.py:15-109)."""
+    from ctts_tpu.data.dataset import Dataset
+    from ctts_tpu.models.comp_trans_tts import (CompTransTTS,
+                                                prepare_model_config)
+    from ctts_tpu.parallel.train_step import (create_train_state,
+                                              make_train_step)
+    from ctts_tpu.utils.checkpoint import save_checkpoint
+    from ctts_tpu.utils.model import get_model
+    from ctts_tpu.utils.optimizer import build_optimizer
+    from evaluate import evaluate
+
+    root = str(tmp_path / "store")
+    make_fake_store(root, sup=False)
+    pre, mod, tr = tiny_configs(pitch_type="cwt",
+                                energy_feature="frame_level")
+    pre["path"]["preprocessed_path"] = root
+    tr["optimizer"]["batch_size"] = 3
+    tr["path"]["ckpt_path"] = str(tmp_path / "ckpt")
+    mod = prepare_model_config(pre, mod)
+
+    ds = Dataset("train_unsup.txt", pre, mod, tr, sort=True,
+                 bucket_src=8, bucket_mel=16)
+    batch = next(ds.batches(shuffle=False))
+    model = CompTransTTS(pre, mod, tr)
+    kwargs = dict(
+        speakers=jnp.asarray(batch["speakers"]),
+        texts=jnp.asarray(batch["texts"]),
+        src_lens=jnp.asarray(batch["src_lens"]), mode="train_unsup",
+        mels=jnp.asarray(batch["mels"]),
+        mel_lens=jnp.asarray(batch["mel_lens"]),
+        pitch_targets={k: jnp.asarray(v)
+                       for k, v in batch["pitch_data"].items()},
+        energy_targets=jnp.asarray(batch["energies"]),
+        duration_targets=None,
+        attn_priors=jnp.asarray(batch["attn_priors"]),
+        step=jnp.zeros((), jnp.int32), deterministic=True)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **kwargs)
+    tx, _ = build_optimizer(mod, tr)
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(model, tx, pre, mod, tr, "train_unsup",
+                              donate=False)
+    device_batch = {k: v for k, v in batch.items()
+                    if k not in ("ids", "raw_texts")}
+    for _ in range(2):
+        state, _ = step_fn(state, device_batch, jax.random.PRNGKey(1))
+    save_checkpoint(tr["path"]["ckpt_path"], jax.device_get(state),
+                    int(state.step))
+
+    # the evaluate.main() path: restore by step, run the val sweep
+    model2, state2, _ = get_model(int(state.step), (pre, mod, tr),
+                                  train=True)
+    a = np.asarray(jax.tree.leaves(state2.params)[0])
+    b = np.asarray(jax.tree.leaves(state.params)[0])
+    np.testing.assert_allclose(a, b)
+    message, means = evaluate(model2, state2, (pre, mod, tr),
+                              step=int(state.step))
+    assert "Validation Step" in message
+    assert means and all(np.isfinite(v) for v in means.values()), means

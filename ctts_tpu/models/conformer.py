@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ctts_tpu.models.transformer import _sinusoid_encoding, _dtype_of
+from ctts_tpu.ops import relpos_attention
 from ctts_tpu.text.symbols import symbols
 
 
@@ -66,15 +67,29 @@ class RelativeMultiHeadAttention(nn.Module):
         u_bias = self.param("u_bias", init, (H, Dh))
         v_bias = self.param("v_bias", init, (H, Dh))
 
-        content = jnp.einsum("bqhd,bkhd->bhqk",
-                             q + u_bias[None, None].astype(q.dtype), k)
-        pos_score = jnp.einsum("bqhd,bkhd->bhqk",
-                               q + v_bias[None, None].astype(q.dtype), pos)
-        pos_score = self._relative_shift(pos_score)
-        score = (content + pos_score) / math.sqrt(self.d_model)
-        attn = nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        if relpos_attention.supported(T):
+            # fused Pallas path: no [B, H, T, T] tensor ever reaches HBM
+            # (2.1x the XLA graph at B16/H8/T896, incl. its own dropout).
+            # pos_embedding is batch-invariant here (_Stack broadcasts one
+            # sinusoid table), so the kernel takes pos[0] only.
+            p_drop = 0.0 if deterministic else self.dropout
+            rng = (self.make_rng("dropout") if p_drop > 0.0 else None)
+            ctx = relpos_attention.relpos_attention(
+                q, k, v, pos[0].transpose(1, 0, 2), u_bias, v_bias,
+                1.0 / math.sqrt(self.d_model),
+                dropout_p=p_drop, dropout_rng=rng).astype(self.dtype)
+        else:
+            content = jnp.einsum("bqhd,bkhd->bhqk",
+                                 q + u_bias[None, None].astype(q.dtype), k)
+            pos_score = jnp.einsum(
+                "bqhd,bkhd->bhqk",
+                q + v_bias[None, None].astype(q.dtype), pos)
+            pos_score = self._relative_shift(pos_score)
+            score = (content + pos_score) / math.sqrt(self.d_model)
+            attn = nn.softmax(score.astype(jnp.float32),
+                              axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         return nn.DenseGeneral(self.d_model, axis=(-2, -1), use_bias=False,
                                kernel_init=init, dtype=self.dtype,
                                param_dtype=jnp.float32,

@@ -138,6 +138,7 @@ class CompTransTTS(nn.Module):
             "pitch_predictions": va["pitch_predictions"],
             "energy_predictions": va["energy_prediction"],
             "log_duration_predictions": va["log_duration_prediction"],
+            "dur_crf_ll": va["dur_crf_ll"],
             "duration_rounded": va["duration_rounded"],
             "src_masks": src_masks,
             "mel_masks": out_mel_masks,

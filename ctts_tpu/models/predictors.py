@@ -46,23 +46,86 @@ class _ConvStack(nn.Module):
 
 
 class DurationPredictor(nn.Module):
-    """Log-domain duration head (model/modules.py:1252-1310)."""
+    """Log-domain duration head (model/modules.py:1252-1310).
+
+    Head width follows the reference's dur_loss switch
+    (modules.py:1289-1297): "mse" -> 1 (log-duration), "mog" -> 15
+    (5-component MDN over log(d+1): [weight logits | means | log-sigmas]),
+    "crf" -> 32 (emission scores over duration classes 0..31). The
+    reference declares mog/crf but raises NotImplementedError in the loss;
+    here they are working (see MOG_COMPONENTS/ops/crf.py and loss.py).
+    """
     n_layers: int = 2
     n_chans: int = 256
     kernel_size: int = 3
     dropout_rate: float = 0.5
     padding: str = "SAME"
+    dur_loss: str = "mse"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, padding_mask, deterministic=True):
+        odims = {"mse": 1, "mog": 15, "crf": 32}[self.dur_loss]
         x = _ConvStack(self.n_layers, self.n_chans, self.kernel_size,
                        self.dropout_rate, self.padding, self.dtype,
                        name="conv")(x, padding_mask, deterministic)
-        x = nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32,
+        x = nn.Dense(odims, dtype=self.dtype, param_dtype=jnp.float32,
                      name="linear")(x)
         x = jnp.where(padding_mask[..., None], 0.0, x)
-        return x[..., 0].astype(jnp.float32)          # [B, T] log-durations
+        if self.dur_loss == "mse":
+            return x[..., 0].astype(jnp.float32)      # [B, T] log-durations
+        return x.astype(jnp.float32)                  # [B, T, odims]
+
+
+MOG_COMPONENTS = 5
+
+
+def mog_split(params):
+    """[..., 15] -> (weight logits, means, log-sigmas), each [..., 5]."""
+    return jnp.split(params, 3, axis=-1)
+
+
+def mog_nll(params, y):
+    """Negative log-likelihood of y [B, T] (= log(dur+1)) under the
+    5-component MDN params [B, T, 15]. Returns [B, T]."""
+    w, mu, ls = mog_split(params)
+    logw = jax.nn.log_softmax(w, axis=-1)
+    z = (y[..., None] - mu) * jnp.exp(-ls)
+    comp = -0.5 * z * z - ls - 0.5 * jnp.log(2.0 * jnp.pi)
+    return -jax.nn.logsumexp(logw + comp, axis=-1)
+
+
+def mog_mean(params):
+    """Posterior-mean log-duration E[y] [B, T]."""
+    w, mu, _ = mog_split(params)
+    return jnp.sum(jax.nn.softmax(w, axis=-1) * mu, axis=-1)
+
+
+class DurationCRF(nn.Module):
+    """Parameters of the 32-class duration CRF (torchcrf.CRF equivalent,
+    reference modules.py:1293-1296); the algorithms live in ops/crf.py."""
+    num_tags: int = 32
+
+    def setup(self):
+        init = lambda key, shape: jax.random.uniform(  # noqa: E731
+            key, shape, jnp.float32, -0.1, 0.1)        # torchcrf reset range
+        self.start_transitions = self.param("start_transitions", init,
+                                            (self.num_tags,))
+        self.end_transitions = self.param("end_transitions", init,
+                                          (self.num_tags,))
+        self.transitions = self.param("transitions", init,
+                                      (self.num_tags, self.num_tags))
+
+    def log_likelihood(self, emissions, tags, valid):
+        from ctts_tpu.ops.crf import crf_log_likelihood
+        return crf_log_likelihood(emissions, tags, valid,
+                                  self.start_transitions,
+                                  self.end_transitions, self.transitions)
+
+    def decode(self, emissions, valid):
+        from ctts_tpu.ops.crf import viterbi_decode
+        return viterbi_decode(emissions, valid, self.start_transitions,
+                              self.end_transitions, self.transitions)
 
 
 class PitchPredictor(nn.Module):

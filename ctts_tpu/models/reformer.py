@@ -1,5 +1,5 @@
-"""`reformer` block: LSH bucketed attention + local heads + (remat'd)
-reversible-style residual streams.
+"""`reformer` block: LSH bucketed attention + local heads + two-stream
+residuals (reversible-style math, plain autodiff storage).
 
 Re-design of the reference (model/transformers/reformer.py): shared-QK LSH
 attention with 4 hash rounds over bucket-64 chunks with look-one-back
@@ -11,9 +11,14 @@ the doubled-feature two-stream residual scheme with final averaging
 (reformer.py:164-168). Sequences are padded to a multiple of 2·bucket
 (Autopadder, reformer.py:889-928).
 
-TPU choices: reversibility is replaced by `jax.checkpoint` rematerialization
-(same activation-memory effect, no custom backward); the FFN is a plain
-dense gelu block (time-chunking is obsolete under remat). Deviation from a
+TPU choices: reversibility is NOT reproduced — its only purpose is
+activation memory, and at TTS sequence lengths (N <= ~2k, d=256) plain
+autodiff storage is a few hundred MB on a 16 GB chip, so the two-stream
+residual math is kept but gradients use stored activations (2x-fwd
+recompute would cost ~35 ms/step for nothing; `jax.checkpoint` can be
+added around the depth loop if memory ever binds). The FFN is a plain
+dense gelu block (time-chunking likewise obsolete). Sort-domain
+gather/unsort runs on the MXU via ops/sort_gather.py. Deviation from a
 reference defect: the reference drops the padding mask on the floor (it is
 passed as `mask=` but the attention only reads `input_mask=`), so its LSH
 attends to padding; here padding is masked out properly.
@@ -26,6 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ctts_tpu.models.transformer import _sinusoid_encoding, _dtype_of
+from ctts_tpu.ops import sort_gather
 from ctts_tpu.text.symbols import symbols
 
 NEG = -1e9
@@ -74,12 +80,31 @@ def lsh_attention(qk, v, valid, rng, bucket_size=64, n_hashes=4,
     ticker = jnp.broadcast_to(jnp.arange(n_hashes * N)[None],
                               (B, n_hashes * N))
     buckets_and_t = N * buckets + (ticker % N)
-    sticker = jnp.argsort(buckets_and_t, axis=-1, stable=True)
-    undo_sort = jnp.argsort(sticker, axis=-1, stable=True)
-    st = sticker % N                                      # source positions
 
-    sqk = _take(qk, st)
-    sv = _take(v, st)
+    # XLA's take_along_axis gather is a serial per-index loop on TPU
+    # (2.84 ms for ONE of these at B64/N896/d32); route all sort-domain
+    # moves through the one-hot-matmul kernels instead. The fast path
+    # additionally (a) carries the validity bits through a 3-operand
+    # stable sort (argsort IS sort_key_val over an iota, so adding the
+    # bits costs one more sort operand, not a gather), and (b) un-sorts
+    # by SCATTERING along `sticker`, so the second argsort (undo_sort)
+    # is never built.
+    fast = sort_gather.supported(N, n_hashes * N, 2 * d)
+    if fast:
+        valid4 = jnp.tile(valid.astype(jnp.int32), (1, n_hashes))
+        _, sticker, svalid = jax.lax.sort(
+            (buckets_and_t, ticker, valid4), dimension=-1, num_keys=1,
+            is_stable=True)
+        st = sticker % N                                  # source positions
+        saug = sort_gather.gather_rows(jnp.concatenate([qk, v], -1), st)
+        sqk = saug[..., :d]
+        sv = saug[..., d:]
+    else:
+        sticker = jnp.argsort(buckets_and_t, axis=-1, stable=True)
+        undo_sort = jnp.argsort(sticker, axis=-1, stable=True)
+        st = sticker % N
+        sqk = _take(qk, st)
+        sv = _take(v, st)
 
     n_chunks = n_hashes * n_buckets
     bq_t = st.reshape(B, n_chunks, -1)
@@ -96,9 +121,12 @@ def lsh_attention(qk, v, valid, rng, bucket_size=64, n_hashes=4,
 
     dots = jnp.einsum("bhie,bhje->bhij", bq, bk) * (d ** -0.5)
 
-    # padding mask
-    mq = _take(valid[..., None].astype(jnp.int32), st)[..., 0]
-    mq = mq.reshape(B, n_chunks, -1).astype(bool)
+    # padding mask (the fast path already sorted the bits)
+    if fast:
+        mq = svalid > 0
+    else:
+        mq = _take(valid[..., None].astype(jnp.int32), st)[..., 0] > 0
+    mq = mq.reshape(B, n_chunks, -1)
     mkv = _look_one_back(mq[..., None])[..., 0]
     dots = jnp.where(mq[:, :, :, None] & mkv[:, :, None, :], dots, NEG)
 
@@ -115,8 +143,15 @@ def lsh_attention(qk, v, valid, rng, bucket_size=64, n_hashes=4,
     so = bo.reshape(B, -1, d)
     slogits = dots_lse.reshape(B, -1)
 
-    o = _take(so, undo_sort)
-    logits = jnp.take_along_axis(slogits, undo_sort, axis=1)
+    if fast:
+        unsorted = sort_gather.scatter_rows(
+            jnp.concatenate([so, slogits[..., None]], axis=-1),
+            sticker, n_hashes * N)
+        o = unsorted[..., :d]
+        logits = unsorted[..., d]
+    else:
+        o = _take(so, undo_sort)
+        logits = jnp.take_along_axis(slogits, undo_sort, axis=1)
     o = o.reshape(B, n_hashes, N, d)
     logits = logits.reshape(B, n_hashes, N, 1)
     # combine hash rounds by their log-normalizers
@@ -236,7 +271,7 @@ class LSHSelfAttention(nn.Module):
 
 
 class _FF(nn.Module):
-    """gelu FFN ×4 (reformer.py:986-1008); remat replaces time-chunking."""
+    """gelu FFN ×4 (reformer.py:986-1008)."""
     dim: int
     mult: int = 4
     dropout: float = 0.0

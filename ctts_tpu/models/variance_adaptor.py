@@ -25,9 +25,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ctts_tpu.models.aligner import AlignmentEncoder
-from ctts_tpu.models.predictors import (CwtStatsLayers, DurationPredictor,
-                                        EnergyPredictor, PitchPredictor,
-                                        PitchPredictorAR, grad_scale)
+from ctts_tpu.models.predictors import (CwtStatsLayers, DurationCRF,
+                                        DurationPredictor, EnergyPredictor,
+                                        PitchPredictor, PitchPredictorAR,
+                                        grad_scale, mog_mean)
 from ctts_tpu.models.prosody import (DuProsodyExtractor, DuProsodyPredictor,
                                      LiuProsody)
 from ctts_tpu.ops.cwt import cwt2f0_norm
@@ -60,10 +61,14 @@ class VarianceAdaptor(nn.Module):
         self.model_type = mc["prosody_modeling"]["model_type"]
         hidden = self.d_model
 
+        self.dur_loss_type = tc["loss"]["dur_loss"]
         self.duration_predictor = DurationPredictor(
             n_layers=vp["dur_predictor_layers"], n_chans=vp["filter_size"],
             kernel_size=vp["dur_predictor_kernel"],
-            dropout_rate=vp["dropout"], padding=vp["ffn_padding"])
+            dropout_rate=vp["dropout"], padding=vp["ffn_padding"],
+            dur_loss=self.dur_loss_type)
+        if self.dur_loss_type == "crf":
+            self.dur_crf = DurationCRF(num_tags=32)
 
         if self.use_pitch_embed:
             n_bins = mc["variance_embedding"]["pitch_n_bins"]
@@ -230,15 +235,31 @@ class VarianceAdaptor(nn.Module):
             out_mel_len, out_mel_mask = mel_len, mel_mask
         else:  # infer
             max_len = max_mel_len                    # static frame budget
+            if self.dur_loss_type == "mse":
+                log_dur = log_duration_prediction
+            elif self.dur_loss_type == "mog":
+                log_dur = mog_mean(log_duration_prediction)
+            else:                                    # crf: Viterbi classes
+                log_dur = jnp.log(1.0 + self.dur_crf.decode(
+                    log_duration_prediction, ~src_mask).astype(jnp.float32))
             duration_rounded = jnp.maximum(
-                jnp.round(jnp.exp(log_duration_prediction) - 1.0) * d_control,
-                0.0)
+                jnp.round(jnp.exp(log_dur) - 1.0) * d_control, 0.0)
             duration_rounded = jnp.where(src_mask, 0.0, duration_rounded)
             mel2ph = dur_to_mel2ph(duration_rounded, src_mask, max_len=max_len)
             x_up = gather_by_mel2ph(x, mel2ph)
             out_mel_len = jnp.minimum(
                 jnp.sum(duration_rounded.astype(jnp.int32), axis=1), max_len)
             out_mel_mask = get_mask_from_lengths(out_mel_len, max_len)
+
+        # crf dur head: the CRF parameters live here (reference comment
+        # `self.model.dur_predictor.crf(...)`, loss.py:147-148), so the
+        # per-utterance log-likelihood is computed in-model and handed to
+        # the loss; classes are durations clamped to [0, 31]
+        dur_crf_ll = None
+        if self.dur_loss_type == "crf" and mode != "infer":
+            tags = jnp.clip(duration_rounded.astype(jnp.int32), 0, 31)
+            dur_crf_ll = self.dur_crf.log_likelihood(
+                log_duration_prediction, tags, ~src_mask)
 
         x_org = x                                      # token-level hidden
         x = x_up                                       # frame-level hidden
@@ -295,6 +316,7 @@ class VarianceAdaptor(nn.Module):
             "energy_target": energy_target,
             "energy_prediction": energy_prediction,
             "log_duration_prediction": log_duration_prediction,
+            "dur_crf_ll": dur_crf_ll,
             "duration_rounded": duration_rounded,
             "mel_len": out_mel_len,
             "mel_mask": out_mel_mask,

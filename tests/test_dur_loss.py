@@ -1,0 +1,162 @@
+"""Working mog/crf duration losses (the reference declares both heads,
+modules.py:1289-1297, but raises NotImplementedError in the loss,
+loss.py:144-149)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _brute_force_logZ(emissions, mask, start, end, trans):
+    """Enumerate all tag sequences (tiny shapes only)."""
+    import itertools
+    T, K = emissions.shape
+    n = int(mask.sum())
+    scores = []
+    for seq in itertools.product(range(K), repeat=n):
+        s = start[seq[0]] + emissions[0, seq[0]]
+        for t in range(1, n):
+            s += trans[seq[t - 1], seq[t]] + emissions[t, seq[t]]
+        s += end[seq[-1]]
+        scores.append(s)
+    return float(jax.nn.logsumexp(jnp.asarray(scores)))
+
+
+def test_crf_log_likelihood_vs_bruteforce():
+    from ctts_tpu.ops.crf import crf_log_likelihood
+    rng = np.random.RandomState(0)
+    B, T, K = 3, 5, 4
+    em = jnp.asarray(rng.randn(B, T, K).astype(np.float32))
+    tags = jnp.asarray(rng.randint(0, K, (B, T)), jnp.int32)
+    # row 0 full, rows 1-2 partially masked
+    mask = jnp.asarray([[1, 1, 1, 1, 1], [1, 1, 1, 0, 0], [1, 1, 0, 0, 0]],
+                       bool)
+    start = jnp.asarray(rng.randn(K).astype(np.float32))
+    end = jnp.asarray(rng.randn(K).astype(np.float32))
+    trans = jnp.asarray(rng.randn(K, K).astype(np.float32))
+
+    ll = crf_log_likelihood(em, tags, mask, start, end, trans)
+    for b in range(B):
+        n = int(mask[b].sum())
+        seq = [int(t) for t in tags[b, :n]]
+        s = float(start[seq[0]] + em[b, 0, seq[0]])
+        for t in range(1, n):
+            s += float(trans[seq[t - 1], seq[t]] + em[b, t, seq[t]])
+        s += float(end[seq[-1]])
+        logZ = _brute_force_logZ(np.asarray(em[b]), np.asarray(mask[b]),
+                                 np.asarray(start), np.asarray(end),
+                                 np.asarray(trans))
+        np.testing.assert_allclose(float(ll[b]), s - logZ, rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_viterbi_vs_bruteforce():
+    import itertools
+    from ctts_tpu.ops.crf import viterbi_decode
+    rng = np.random.RandomState(1)
+    B, T, K = 2, 5, 3
+    em = jnp.asarray(rng.randn(B, T, K).astype(np.float32))
+    mask = jnp.asarray([[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]], bool)
+    start = jnp.asarray(rng.randn(K).astype(np.float32))
+    end = jnp.asarray(rng.randn(K).astype(np.float32))
+    trans = jnp.asarray(rng.randn(K, K).astype(np.float32))
+    got = viterbi_decode(em, mask, start, end, trans)
+    for b in range(B):
+        n = int(mask[b].sum())
+        best, best_s = None, -1e30
+        for seq in itertools.product(range(K), repeat=n):
+            s = float(start[seq[0]] + em[b, 0, seq[0]])
+            for t in range(1, n):
+                s += float(trans[seq[t - 1], seq[t]] + em[b, t, seq[t]])
+            s += float(end[seq[-1]])
+            if s > best_s:
+                best, best_s = seq, s
+        assert tuple(int(t) for t in got[b, :n]) == best
+
+
+def test_mog_nll_matches_manual():
+    from ctts_tpu.models.predictors import mog_nll, mog_mean
+    rng = np.random.RandomState(2)
+    params = jnp.asarray(rng.randn(2, 7, 15).astype(np.float32))
+    y = jnp.asarray(np.abs(rng.randn(2, 7)).astype(np.float32))
+    nll = np.asarray(mog_nll(params, y))
+    w, mu, ls = np.split(np.asarray(params), 3, axis=-1)
+    wn = np.exp(w) / np.exp(w).sum(-1, keepdims=True)
+    pdf = (wn * np.exp(-0.5 * ((y[..., None] - mu) / np.exp(ls)) ** 2)
+           / (np.exp(ls) * np.sqrt(2 * np.pi))).sum(-1)
+    np.testing.assert_allclose(nll, -np.log(pdf), rtol=1e-4, atol=1e-5)
+    # posterior mean reduces to mu when one component dominates
+    params_dom = params.at[..., :5].set(
+        jnp.asarray([100.0, 0, 0, 0, 0]))
+    np.testing.assert_allclose(np.asarray(mog_mean(params_dom)),
+                               np.asarray(params[..., 5]), atol=1e-3)
+
+
+def _init_and_apply(pre, mod, tr, batch, mode, step=60001):
+    from ctts_tpu.models.comp_trans_tts import CompTransTTS
+    model = CompTransTTS(pre, mod, tr)
+    kwargs = dict(
+        speakers=batch["speakers"], texts=batch["texts"],
+        src_lens=batch["src_lens"], mode=mode,
+        mels=batch["mels"], mel_lens=batch["mel_lens"],
+        pitch_targets=batch["pitch_data"], energy_targets=batch["energies"],
+        duration_targets=batch["durations"],
+        attn_priors=batch["attn_priors"] if mode == "train_unsup" else None,
+        step=jnp.asarray(step), deterministic=True)
+    if mode == "infer":
+        kwargs.update(mels=None, mel_lens=None, pitch_targets=None,
+                      energy_targets=None, duration_targets=None,
+                      attn_priors=None, max_mel_len=96)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **kwargs)
+    out, _ = model.apply(variables, mutable=["batch_stats"], **kwargs)
+    return model, variables, out, kwargs
+
+
+@pytest.mark.parametrize("dur_loss", ["mog", "crf"])
+def test_train_and_infer_e2e(dur_loss):
+    """Tiny model trains one step and infers with each duration head."""
+    from helpers import tiny_configs, synth_batch
+    from ctts_tpu.models.loss import compute_loss
+
+    pre, mod, tr = tiny_configs()
+    tr["loss"]["dur_loss"] = dur_loss
+    batch = synth_batch()
+    model, variables, out, kwargs = _init_and_apply(pre, mod, tr, batch,
+                                                    "train_unsup")
+    if dur_loss == "mog":
+        assert out["log_duration_predictions"].shape == (
+            *batch["texts"].shape, 15)
+    else:
+        assert out["log_duration_predictions"].shape == (
+            *batch["texts"].shape, 32)
+        assert out["dur_crf_ll"].shape == (batch["texts"].shape[0],)
+
+    def loss_fn(params):
+        outputs, _ = model.apply(
+            {"params": params, **{k: v for k, v in variables.items()
+                                  if k != "params"}},
+            mutable=["batch_stats"], **kwargs)
+        total, comps = compute_loss(batch, outputs, kwargs["step"], pre, mod,
+                                    tr)
+        return total, comps
+
+    (total, comps), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(comps["pdur"]))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    if dur_loss == "crf":
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        crf_grads = [g for p, g in flat if "dur_crf" in str(p)]
+        assert crf_grads and any(np.abs(np.asarray(g)).max() > 0
+                                 for g in crf_grads)
+
+    # inference path (duration decode) runs and produces sane durations
+    _, _, out_i, _ = _init_and_apply(pre, mod, tr, batch, "infer")
+    dur = np.asarray(out_i["duration_rounded"])
+    assert np.isfinite(dur).all() and (dur >= 0).all()
+    if dur_loss == "crf":
+        assert dur.max() <= 31
+    assert not np.any(np.isnan(np.asarray(out_i["mel_predictions"])))

@@ -183,6 +183,38 @@ def test_forward_sum_loss_matches_torch():
     assert abs(got - ref) < 1e-3, (got, ref)
 
 
+def test_ctc_alpha_recursion_matches_optax():
+    """The unrolled in-house CTC recursion (values AND grads) equals
+    optax.ctc_loss on variable-length batches."""
+    import optax
+    from ctts_tpu.ops.forward_sum import (_ctc_neg_log_likelihood,
+                                          _log_softmax, BLANK_LOGPROB, _NEG)
+    rng = np.random.RandomState(11)
+    B, T_m, T_s = 4, 67, 13
+    attn = jnp.asarray(rng.randn(B, T_m, T_s).astype(np.float32))
+    in_lens = jnp.asarray([13, 10, 7, 1], jnp.int32)
+    out_lens = jnp.asarray([67, 50, 33, 5], jnp.int32)
+    valid = jnp.arange(T_s + 1)[None, None, :] <= in_lens[:, None, None]
+    labels = jnp.broadcast_to(jnp.arange(1, T_s + 1)[None, :], (B, T_s))
+    lp = (labels > in_lens[:, None]).astype(np.float32)
+    op = (jnp.arange(T_m)[None, :] >= out_lens[:, None]).astype(np.float32)
+
+    def prep(a):
+        lg = jnp.concatenate([jnp.full((B, T_m, 1), BLANK_LOGPROB), a], -1)
+        return _log_softmax(jnp.where(valid, lg, _NEG))
+
+    ref = optax.ctc_loss(prep(attn), op, labels, lp, blank_id=0)
+    got = _ctc_neg_log_likelihood(prep(attn), in_lens, out_lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    g_ref = jax.grad(lambda a: optax.ctc_loss(
+        prep(a), op, labels, lp, blank_id=0).sum())(attn)
+    g_got = jax.grad(lambda a: _ctc_neg_log_likelihood(
+        prep(a), in_lens, out_lens).sum())(attn)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-4)
+
+
 def test_bin_loss():
     soft = jnp.array([[[0.9, 0.1], [0.2, 0.8]]])
     hard = jnp.array([[[1.0, 0.0], [0.0, 1.0]]])

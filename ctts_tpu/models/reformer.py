@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ctts_tpu.models.transformer import _sinusoid_encoding, _dtype_of
-from ctts_tpu.ops import sort_gather
+from ctts_tpu.ops import local_window_attention, sort_gather
 from ctts_tpu.text.symbols import symbols
 
 NEG = -1e9
@@ -174,6 +174,11 @@ def local_attention(qk, v, valid, window, causal=True):
     (the reference's local_attention heads, reformer.py:643)."""
     B, N, d = qk.shape
     assert N % window == 0
+    if causal and local_window_attention.supported(N, window, d):
+        # fused per-window Pallas kernel; the jnp path below is the
+        # oracle (tests/test_sort_gather.py asserts equivalence)
+        return local_window_attention.local_window_attention(
+            qk, v, valid, window, d ** -0.5)
     W = N // window
     k = qk * jax.lax.rsqrt(jnp.sum(qk * qk, axis=-1, keepdims=True) + 1e-12)
     pos = jnp.broadcast_to(jnp.arange(N)[None], (B, N))

@@ -97,3 +97,33 @@ def test_lsh_fast_path_matches_fallback():
     assert (np.asarray(fast) == np.asarray(slow)).all()
     np.testing.assert_allclose(np.asarray(gfast), np.asarray(gslow),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_local_window_attention_matches_fallback():
+    """The fused per-batch-row local attention kernel (interpret mode)
+    is bit-identical to the jnp windowed path, grads equivalent."""
+    from ctts_tpu.ops import local_window_attention as LW
+    from ctts_tpu.models import reformer as R
+
+    rng = np.random.RandomState(7)
+    B, N, d, win = 3, 384, 128, 128
+    qk = jnp.asarray(rng.randn(B, N, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, N, d).astype(np.float32) * 0.3)
+    valid = jnp.asarray(rng.rand(B, N) > 0.15)
+    assert LW.supported(N, win, d)
+
+    fast = R.local_attention(qk, v, valid, win)
+    gfast = jax.grad(lambda q, vv: (R.local_attention(
+        q, vv, valid, win) ** 2).sum(), argnums=(0, 1))(qk, v)
+    orig = LW.supported
+    LW.supported = lambda *a, **k: False
+    try:
+        slow = R.local_attention(qk, v, valid, win)
+        gslow = jax.grad(lambda q, vv: (R.local_attention(
+            q, vv, valid, win) ** 2).sum(), argnums=(0, 1))(qk, v)
+    finally:
+        LW.supported = orig
+    assert (np.asarray(fast) == np.asarray(slow)).all()
+    for a, b in zip(gfast, gslow):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-4)

@@ -43,8 +43,9 @@ def duration_loss(log_dur_pred, dur_gt, txt_tokens, src_pad_mask, loss_cfg,
                   crf_ll=None):
     """Phone/word/sentence duration losses (loss.py:123-166).
 
-    The reference's "mog"/"crf" branches raise NotImplementedError
-    (loss.py:144-149); here they work: "mog" is a 5-component MDN NLL over
+    The reference's "mog"/"crf" branches raise NotImplementedError and
+    its declared "huber" head has no loss branch at all (loss.py:138-152);
+    here all of them work: "mog" is a 5-component MDN NLL over
     log(d+1) (head layout in predictors.mog_split), "crf" takes the
     in-model CRF log-likelihood (`crf_ll`, [B]; params live with the
     predictor as in the reference's commented-out call). The word/sentence
@@ -64,6 +65,15 @@ def duration_loss(log_dur_pred, dur_gt, txt_tokens, src_pad_mask, loss_cfg,
     kind = loss_cfg["dur_loss"]
     if kind == "mse":
         pdur = (log_dur_pred - jnp.log(dur_gt + 1.0)) ** 2
+        losses["pdur"] = _masked_mean(pdur, nonpad)
+        dur_pred = jnp.maximum(jnp.exp(log_dur_pred) - 1.0, 0.0)
+    elif kind == "huber":
+        # the reference declares this head (modules.py:1289) but its loss
+        # has no branch for it (KeyError at runtime); torch SmoothL1
+        # (delta=1) semantics on log-durations
+        err = log_dur_pred - jnp.log(dur_gt + 1.0)
+        a = jnp.abs(err)
+        pdur = jnp.where(a < 1.0, 0.5 * err * err, a - 0.5)
         losses["pdur"] = _masked_mean(pdur, nonpad)
         dur_pred = jnp.maximum(jnp.exp(log_dur_pred) - 1.0, 0.0)
     elif kind == "mog":

@@ -49,7 +49,7 @@ class DurationPredictor(nn.Module):
     """Log-domain duration head (model/modules.py:1252-1310).
 
     Head width follows the reference's dur_loss switch
-    (modules.py:1289-1297): "mse" -> 1 (log-duration), "mog" -> 15
+    (modules.py:1289-1297): "mse"/"huber" -> 1 (log-duration), "mog" -> 15
     (5-component MDN over log(d+1): [weight logits | means | log-sigmas]),
     "crf" -> 32 (emission scores over duration classes 0..31). The
     reference declares mog/crf but raises NotImplementedError in the loss;
@@ -65,14 +65,15 @@ class DurationPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, x, padding_mask, deterministic=True):
-        odims = {"mse": 1, "mog": 15, "crf": 32}[self.dur_loss]
+        odims = {"mse": 1, "huber": 1, "mog": 15,
+                 "crf": 32}[self.dur_loss]
         x = _ConvStack(self.n_layers, self.n_chans, self.kernel_size,
                        self.dropout_rate, self.padding, self.dtype,
                        name="conv")(x, padding_mask, deterministic)
         x = nn.Dense(odims, dtype=self.dtype, param_dtype=jnp.float32,
                      name="linear")(x)
         x = jnp.where(padding_mask[..., None], 0.0, x)
-        if self.dur_loss == "mse":
+        if self.dur_loss in ("mse", "huber"):
             return x[..., 0].astype(jnp.float32)      # [B, T] log-durations
         return x.astype(jnp.float32)                  # [B, T, odims]
 

@@ -235,7 +235,7 @@ class VarianceAdaptor(nn.Module):
             out_mel_len, out_mel_mask = mel_len, mel_mask
         else:  # infer
             max_len = max_mel_len                    # static frame budget
-            if self.dur_loss_type == "mse":
+            if self.dur_loss_type in ("mse", "huber"):
                 log_dur = log_duration_prediction
             elif self.dur_loss_type == "mog":
                 log_dur = mog_mean(log_duration_prediction)

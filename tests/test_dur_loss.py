@@ -113,7 +113,7 @@ def _init_and_apply(pre, mod, tr, batch, mode, step=60001):
     return model, variables, out, kwargs
 
 
-@pytest.mark.parametrize("dur_loss", ["mog", "crf"])
+@pytest.mark.parametrize("dur_loss", ["huber", "mog", "crf"])
 def test_train_and_infer_e2e(dur_loss):
     """Tiny model trains one step and infers with each duration head."""
     from helpers import tiny_configs, synth_batch
@@ -124,7 +124,9 @@ def test_train_and_infer_e2e(dur_loss):
     batch = synth_batch()
     model, variables, out, kwargs = _init_and_apply(pre, mod, tr, batch,
                                                     "train_unsup")
-    if dur_loss == "mog":
+    if dur_loss == "huber":
+        assert out["log_duration_predictions"].shape == batch["texts"].shape
+    elif dur_loss == "mog":
         assert out["log_duration_predictions"].shape == (
             *batch["texts"].shape, 15)
     else:

@@ -45,14 +45,22 @@ def gather_by_mel2ph(x, mel2ph):
     """Upsample per-token values to frames.
 
     x: [B, T_txt, C] (or [B, T_txt]); mel2ph: [B, T_mel] (0 = pad → zeros).
-    Returns [B, T_mel, C] (or [B, T_mel]).
+    Returns [B, T_mel, C] (or [B, T_mel]). Routed through the one-hot
+    MXU gather when shapes allow (XLA's take_along_axis is a serial
+    per-index loop on TPU — see ops/sort_gather.py); bit-identical.
     """
+    from ctts_tpu.ops import sort_gather
     squeeze = x.ndim == 2
     if squeeze:
         x = x[..., None]
     B, T, C = x.shape
-    x_pad = jnp.concatenate([jnp.zeros((B, 1, C), x.dtype), x], axis=1)
-    out = jnp.take_along_axis(x_pad, mel2ph[..., None], axis=1)
+    extra = (-(T + 1)) % 8 + 1        # row 0 = the mel2ph==0 zero row
+    x_pad = jnp.concatenate([jnp.zeros((B, extra, C), x.dtype), x], axis=1)
+    shifted = mel2ph + (extra - 1)    # index 0 still hits a zero row
+    if sort_gather.supported(T + extra, mel2ph.shape[1], C):
+        out = sort_gather.gather_rows(x_pad, shifted)
+    else:
+        out = jnp.take_along_axis(x_pad, shifted[..., None], axis=1)
     return out[..., 0] if squeeze else out
 
 

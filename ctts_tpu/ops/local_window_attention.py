@@ -26,7 +26,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = os.environ.get("CTTS_PALLAS_INTERPRET", "") == "1"
 F32 = jnp.float32

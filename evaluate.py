@@ -82,7 +82,6 @@ def main():
 
     from ctts_tpu.config import get_configs_of
     from ctts_tpu.utils.model import get_model
-    from ctts_tpu.parallel.train_step import create_train_state
 
     configs = get_configs_of(args.dataset, args.config_dir)
     model, state, tx = get_model(args.restore_step, configs, train=True)

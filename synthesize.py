@@ -27,7 +27,7 @@ jax.config.update("jax_compilation_cache_dir",
                                ".cache", "jax"))
 
 from ctts_tpu.config import get_configs_of
-from ctts_tpu.text import text_to_sequence, grapheme_to_phoneme
+from ctts_tpu.text import text_to_sequence
 from ctts_tpu.utils.logging import plot_mel
 from ctts_tpu.utils.model import get_model, get_vocoder, vocoder_infer
 

@@ -75,8 +75,7 @@ def test_tp_coverage_guard_rejects_unruled_params():
 
 def test_param_sharding_rules_hit_ffn_and_attention():
     from ctts_tpu.parallel.mesh import param_spec
-    import jax.tree_util as jtu
-
+    
     class K:                      # fake DictKey
         def __init__(self, key):
             self.key = key

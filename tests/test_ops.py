@@ -4,8 +4,8 @@ import jax.numpy as jnp
 import pytest
 
 from ctts_tpu.ops.masks import get_mask_from_lengths
-from ctts_tpu.ops.length_regulator import (dur_to_mel2ph, gather_by_mel2ph,
-                                           length_regulate, mel2ph_to_dur)
+from ctts_tpu.ops.length_regulator import (dur_to_mel2ph, length_regulate,
+                                           mel2ph_to_dur)
 from ctts_tpu.ops.segment import (phoneme_mean_by_mel2ph,
                                   phoneme_mean_by_duration)
 from ctts_tpu.ops.pitch import f0_to_coarse, norm_f0, denorm_f0

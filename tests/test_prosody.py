@@ -4,7 +4,6 @@ multi-speaker paths through the full model."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from helpers import tiny_configs, synth_batch
 from ctts_tpu.models.comp_trans_tts import CompTransTTS

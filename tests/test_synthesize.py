@@ -5,7 +5,6 @@ import sys
 
 import numpy as np
 import jax
-import pytest
 
 from helpers import tiny_configs
 

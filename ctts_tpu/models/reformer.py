@@ -317,11 +317,27 @@ class Reformer(nn.Module):
                                 name="attn")
         ff = _FF(self.dim, dropout=self.dropout, dtype=self.dtype, name="ff")
 
+        # Draw ALL depth layers' hash rotations with ONE threefry call:
+        # jax.random.normal costs ~2.3 ms per call on TPU regardless of
+        # size at these shapes (dispatch-bound), and per-layer generation
+        # inside lsh_attention was ~27 ms/step across 12 layers. Slicing
+        # a [depth, ...] draw keeps layers independently hashed (same
+        # distribution as the reference's per-call torch.randn).
+        layer_rots = [lsh_rot] * self.depth
+        if lsh_rot is None:
+            key = (self.make_rng("lsh") if self.has_rng("lsh")
+                   else jax.random.PRNGKey(0))
+            n_buckets = x.shape[1] // self.bucket_size
+            rots = jax.random.normal(
+                key, (self.depth, 1, self.dim_head, self.n_hashes,
+                      n_buckets // 2), self.dtype)
+            layer_rots = [rots[i] for i in range(self.depth)]
+
         x1 = x2 = x
         for i in range(self.depth):
             h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
                              name=f"norm_f_{i}")(x2)
-            y1 = x1 + attn(h, valid, deterministic, lsh_rot=lsh_rot)
+            y1 = x1 + attn(h, valid, deterministic, lsh_rot=layer_rots[i])
             h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
                              name=f"norm_g_{i}")(y1)
             y2 = x2 + ff(h, deterministic)

@@ -1,11 +1,13 @@
 """Pallas-kernel regression harness: correctness vs the jnp fallbacks and
 timing, ON REAL TPU HARDWARE (the pytest suite runs everything on CPU).
 
-Covers the four custom kernels:
+Covers the custom kernels:
   - fused padding-masked attention        (ops/attention.py)
   - fused rel-pos attention (conformer)   (ops/relpos_attention.py)
   - one-hot-matmul gather/scatter (LSH)   (ops/sort_gather.py)
   - fused local window attention          (ops/local_window_attention.py)
+  - MAS/Viterbi binarization DP           (ops/mas.py)
+  - ForwardSum CTC alpha/beta DP          (ops/forward_sum.py)
 
 Prints one line per kernel: max fwd error vs fallback, grad rel-err, and
 fused vs fallback wall time (fwd+bwd). Exits non-zero if any check fails.
@@ -162,6 +164,49 @@ def bench_local_window():
            5e-3, 5e-2)
 
 
+def bench_mas():
+    from ctts_tpu.ops import mas as M
+    rng = np.random.RandomState(0)
+    B, T_m, T_s = 16, 896, 128
+    attn = rng.rand(B, T_m, T_s).astype(np.float32) + 1e-3
+    attn = jnp.asarray(attn / attn.sum(-1, keepdims=True))
+    il = jnp.asarray(rng.randint(T_s // 2, T_s + 1, B), jnp.int32)
+    ol = jnp.asarray(rng.randint(T_m // 2, T_m + 1, B), jnp.int32)
+
+    fast = jax.jit(lambda a: M.b_mas_pallas(a, il, ol))
+    slow = jax.jit(lambda a: M.b_mas_scan(a, il, ol))
+    err = float(jnp.abs(fast(attn) - slow(attn)).max())   # must be exact
+    report("mas_viterbi", err, 0.0, timeit(fast, attn),
+           timeit(slow, attn), 0.5, 1.0)
+
+
+def bench_forward_sum():
+    from ctts_tpu.ops import forward_sum as FS
+    rng = np.random.RandomState(0)
+    B, T_m, T_s = 16, 896, 128
+    attn = jnp.asarray(rng.randn(B, T_m, T_s).astype(np.float32))
+    il = jnp.asarray(rng.randint(T_s // 2, T_s + 1, B), jnp.int32)
+    ol = jnp.asarray(rng.randint(T_m // 2, T_m + 1, B), jnp.int32)
+
+    def loss_with(pallas):
+        orig = FS.pallas_supported
+        FS.pallas_supported = lambda *a, **k: pallas
+        try:
+            val = jax.jit(lambda a: FS.forward_sum_loss(a, il, ol))
+            grad = jax.jit(jax.grad(
+                lambda a: FS.forward_sum_loss(a, il, ol)))
+            return float(val(attn)), grad(attn), val, grad
+        finally:
+            FS.pallas_supported = orig
+
+    v_f, g_f, valf, gradf = loss_with(True)
+    v_r, g_r, valr, gradr = loss_with(False)
+    err = abs(v_f - v_r)
+    gerr = _gerr(g_f, g_r)
+    report("forward_sum_ctc", err, gerr, timeit(gradf, attn),
+           timeit(gradr, attn), 1e-4, 1e-2)
+
+
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
           flush=True)
@@ -169,6 +214,8 @@ if __name__ == "__main__":
     bench_relpos_attention()
     bench_sort_gather()
     bench_local_window()
+    bench_mas()
+    bench_forward_sum()
     if FAILS:
         print("FAILED:", FAILS)
         sys.exit(1)

@@ -5,8 +5,11 @@ block is FF(½) → rel-pos self-attention (Transformer-XL shift) → conv modul
 (pointwise→GLU→depthwise k31→BN→swish→pointwise) → FF(½) → LayerNorm, with
 the padding mask applied at the BLOCK OUTPUT only — the reference's
 nn.Sequential wiring never forwards the mask into the attention
-(conformer.py:244-246, 337), and we keep that behavior for weight-port
-parity.
+(conformer.py:244-246, 337), and we keep that behavior BY DEFAULT for
+weight-port parity. Set `conformer.attend_to_padding: false` in the model
+config to apply the key-padding mask inside RelativeMultiHeadAttention
+(both the fused Pallas path and the jnp fallback) — from-scratch TPU
+training should not inherit the reference's missing-mask defect.
 """
 
 import math
@@ -43,14 +46,17 @@ class FeedForwardModule(nn.Module):
 
 class RelativeMultiHeadAttention(nn.Module):
     """Transformer-XL relative attention with u/v biases and the classic
-    relative-shift trick (conformer.py:347-431)."""
+    relative-shift trick (conformer.py:347-431). `key_padding_mask`
+    ([B, T] bool, True AT PADDING) is only passed when the config opts out
+    of the reference's attend-to-padding behavior."""
     d_model: int
     num_heads: int
     dropout: float
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos_embedding, deterministic=True):
+    def __call__(self, x, pos_embedding, deterministic=True,
+                 key_padding_mask=None):
         B, T, _ = x.shape
         H, Dh = self.num_heads, self.d_model // self.num_heads
         init = nn.initializers.xavier_uniform()
@@ -62,7 +68,12 @@ class RelativeMultiHeadAttention(nn.Module):
         q = proj("query_proj")(x)                         # [B, T, H, Dh]
         k = proj("key_proj")(x)
         v = proj("value_proj")(x)
-        pos = proj("pos_proj")(pos_embedding)             # [B, T, H, Dh]
+        # the pos table is structurally batch-invariant: callers pass the
+        # unbroadcast [1, T, D] sinusoid table, so a batch-dependent
+        # pos_embedding cannot silently reach the fused kernel's pos[0]
+        assert pos_embedding.shape[0] == 1, (
+            "pos_embedding must be the unbroadcast [1, T, D] table")
+        pos = proj("pos_proj")(pos_embedding)             # [1, T, H, Dh]
 
         u_bias = self.param("u_bias", init, (H, Dh))
         v_bias = self.param("v_bias", init, (H, Dh))
@@ -70,22 +81,25 @@ class RelativeMultiHeadAttention(nn.Module):
         if relpos_attention.supported(T):
             # fused Pallas path: no [B, H, T, T] tensor ever reaches HBM
             # (2.1x the XLA graph at B16/H8/T896, incl. its own dropout).
-            # pos_embedding is batch-invariant here (_Stack broadcasts one
-            # sinusoid table), so the kernel takes pos[0] only.
             p_drop = 0.0 if deterministic else self.dropout
             rng = (self.make_rng("dropout") if p_drop > 0.0 else None)
             ctx = relpos_attention.relpos_attention(
                 q, k, v, pos[0].transpose(1, 0, 2), u_bias, v_bias,
                 1.0 / math.sqrt(self.d_model),
-                dropout_p=p_drop, dropout_rng=rng).astype(self.dtype)
+                dropout_p=p_drop, dropout_rng=rng,
+                key_padding_mask=key_padding_mask).astype(self.dtype)
         else:
             content = jnp.einsum("bqhd,bkhd->bhqk",
                                  q + u_bias[None, None].astype(q.dtype), k)
             pos_score = jnp.einsum(
                 "bqhd,bkhd->bhqk",
-                q + v_bias[None, None].astype(q.dtype), pos)
+                q + v_bias[None, None].astype(q.dtype),
+                jnp.broadcast_to(pos, q.shape))
             pos_score = self._relative_shift(pos_score)
             score = (content + pos_score) / math.sqrt(self.d_model)
+            if key_padding_mask is not None:
+                score = jnp.where(key_padding_mask[:, None, None, :],
+                                  -1e9, score)
             attn = nn.softmax(score.astype(jnp.float32),
                               axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
@@ -145,6 +159,8 @@ class ConformerBlock(nn.Module):
     half_step_residual: bool = True
     dtype: Any = jnp.float32
 
+    attend_to_padding: bool = True
+
     @nn.compact
     def __call__(self, x, padding_mask, pos_embedding, deterministic=True,
                  training=False):
@@ -156,7 +172,9 @@ class ConformerBlock(nn.Module):
                          name="attn_norm")(x)
         h = RelativeMultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                        self.dtype, name="attn")(
-            h, pos_embedding, deterministic)
+            h, pos_embedding, deterministic,
+            key_padding_mask=None if self.attend_to_padding
+            else padding_mask)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + ConformerConvModule(self.dim, self.conv_kernel_size,
                                     self.conv_expansion, self.dropout,
@@ -183,15 +201,17 @@ class _Stack(nn.Module):
         n_pos = max(self.config["max_seq_len"] + 1, T)
         pos_table = _sinusoid_encoding(n_pos, d_model)[None, :T]
         x = (x + pos_table).astype(dtype)
-        pos_embedding = jnp.broadcast_to(pos_table,
-                                         (x.shape[0], T, d_model)).astype(dtype)
+        # keep the pos table unbroadcast ([1, T, D]) — the fused attention
+        # relies on batch invariance, and this makes it structural
+        pos_embedding = pos_table.astype(dtype)
         for i in range(cfg[f"{self.side}_layer"]):
             x = ConformerBlock(
                 d_model, cfg[f"{self.side}_head"],
                 cfg["feed_forward_expansion_factor"],
                 cfg["conv_expansion_factor"], cfg["conv_kernel_size"],
                 cfg[f"{self.side}_dropout"], cfg["half_step_residual"],
-                dtype, name=f"layer_stack_{i}")(
+                dtype, cfg.get("attend_to_padding", True),
+                name=f"layer_stack_{i}")(
                 x, padding_mask, pos_embedding, deterministic,
                 training=not deterministic)
         return x.astype(jnp.float32)

@@ -57,7 +57,7 @@ def gather_by_mel2ph(x, mel2ph):
     extra = (-(T + 1)) % 8 + 1        # row 0 = the mel2ph==0 zero row
     x_pad = jnp.concatenate([jnp.zeros((B, extra, C), x.dtype), x], axis=1)
     shifted = mel2ph + (extra - 1)    # index 0 still hits a zero row
-    if sort_gather.supported(T + extra, mel2ph.shape[1], C):
+    if sort_gather.supported(T + extra, mel2ph.shape[1], C, dtype=x.dtype):
         out = sort_gather.gather_rows(x_pad, shifted)
     else:
         out = jnp.take_along_axis(x_pad, shifted[..., None], axis=1)

@@ -70,9 +70,14 @@ def relative_shift(pos_score):
 
 
 def relpos_attention_reference(q, k, v, pos_p, u_bias, v_bias, scale,
-                               dropout_p=0.0, dropout_rng=None):
+                               dropout_p=0.0, dropout_rng=None,
+                               key_padding_mask=None):
     """q/k/v: [B, T, H, Dh]; pos_p: [B or 1, T, H, Dh]; biases [H, Dh].
-    Mirrors RelativeMultiHeadAttention's math; returns ctx [B, T, H, Dh]."""
+    Mirrors RelativeMultiHeadAttention's math; returns ctx [B, T, H, Dh].
+    key_padding_mask: optional [B, T] bool, True AT PADDING — masked keys
+    get -1e9 before the softmax (the reference never wires this up,
+    conformer.py:244-246; the conformer's `attend_to_padding: false` mode
+    uses it)."""
     content = jnp.einsum("bqhd,bkhd->bhqk",
                          q + u_bias[None, None].astype(q.dtype), k)
     pos_score = jnp.einsum("bqhd,bkhd->bhqk",
@@ -80,6 +85,8 @@ def relpos_attention_reference(q, k, v, pos_p, u_bias, v_bias, scale,
                            jnp.broadcast_to(pos_p, q.shape))
     pos_score = relative_shift(pos_score)
     score = (content + pos_score) * scale
+    if key_padding_mask is not None:
+        score = jnp.where(key_padding_mask[:, None, None, :], -1e9, score)
     probs = jax.nn.softmax(score.astype(F32), axis=-1)
     if dropout_p > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p,
@@ -152,7 +159,7 @@ def _build_rel(qv_op, qv1_op, pos, T, q0, block_q):
 
 
 def _fwd_kernel(seed_ref, qp_ref, k_ref, v_ref, pos_ref, ub_ref, vb_ref,
-                o_ref, *, scale, p_drop, block_q, T):
+                kmask_ref, o_ref, *, scale, p_drop, block_q, T, masked):
     n, i = pl.program_id(0), pl.program_id(1)
     q0 = i * block_q
     cdt = qp_ref.dtype
@@ -184,6 +191,8 @@ def _fwd_kernel(seed_ref, qp_ref, k_ref, v_ref, pos_ref, ub_ref, vb_ref,
                                   preferred_element_type=F32)   # [BQ, T]
     rel = _build_rel(qv, qv1, pos, T, q0, block_q)
     s = (content + rel) * scale
+    if masked:
+        s = jnp.where(kmask_ref[0] > 0, s, -1e9)    # [1, T] key validity
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -206,8 +215,9 @@ def _fwd_kernel(seed_ref, qp_ref, k_ref, v_ref, pos_ref, ub_ref, vb_ref,
 # --------------------------------------------------------------------- #
 
 def _bwd_kernel(seed_ref, qp_ref, k_ref, v_ref, pos_ref, ub_ref, vb_ref,
-                g_ref, dq_ref, dk_ref, dv_ref, dpos_ref, dub_ref, dvb_ref,
-                halo_ref, *, scale, p_drop, block_q, T):
+                kmask_ref, g_ref, dq_ref, dk_ref, dv_ref, dpos_ref,
+                dub_ref, dvb_ref, halo_ref, *, scale, p_drop, block_q, T,
+                masked):
     n, i = pl.program_id(0), pl.program_id(1)
     q0 = i * block_q
     cdt = qp_ref.dtype
@@ -238,6 +248,10 @@ def _bwd_kernel(seed_ref, qp_ref, k_ref, v_ref, pos_ref, ub_ref, vb_ref,
                                   preferred_element_type=F32)
     rel = _build_rel(qv, qv1, pos, T, q0, block_q)
     s = (content + rel) * scale
+    if masked:
+        # masked lanes softmax to exactly 0 (exp underflow), so dS is 0
+        # there and no explicit masking is needed in the backward chain
+        s = jnp.where(kmask_ref[0] > 0, s, -1e9)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)             # pre-dropout
@@ -349,16 +363,18 @@ def _specs(N, T, d, H, block_q):
         # (8, 128) tiling rule; the kernel slices its head's row
         pl.BlockSpec((H, d), lambda n, i, *_: (0, 0)),             # u_bias
         pl.BlockSpec((H, d), lambda n, i, *_: (0, 0)),             # v_bias
+        pl.BlockSpec((1, 1, T), lambda n, i, *_: (n, 0, 0)),       # kmask
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _fused(qp, k3, v3, pos3, ub, vb, seed, scale, p_drop, block_q):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _fused(qp, k3, v3, pos3, ub, vb, seed, kmask3, scale, p_drop, block_q,
+           masked):
     N, T, d = k3.shape
     H = pos3.shape[0]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, p_drop=p_drop,
-                          block_q=block_q, T=T),
+                          block_q=block_q, T=T, masked=masked),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(N, T // block_q),
@@ -368,22 +384,24 @@ def _fused(qp, k3, v3, pos3, ub, vb, seed, scale, p_drop, block_q):
         ),
         out_shape=jax.ShapeDtypeStruct((N, T, d), k3.dtype),
         interpret=_INTERPRET,
-    )(seed, qp, k3, v3, pos3, ub, vb)
+    )(seed, qp, k3, v3, pos3, ub, vb, kmask3)
 
 
-def _fused_fwd(qp, k3, v3, pos3, ub, vb, seed, scale, p_drop, block_q):
-    out = _fused(qp, k3, v3, pos3, ub, vb, seed, scale, p_drop, block_q)
-    return out, (qp, k3, v3, pos3, ub, vb, seed)
+def _fused_fwd(qp, k3, v3, pos3, ub, vb, seed, kmask3, scale, p_drop,
+               block_q, masked):
+    out = _fused(qp, k3, v3, pos3, ub, vb, seed, kmask3, scale, p_drop,
+                 block_q, masked)
+    return out, (qp, k3, v3, pos3, ub, vb, seed, kmask3)
 
 
-def _fused_bwd(scale, p_drop, block_q, res, g):
-    qp, k3, v3, pos3, ub, vb, seed = res
+def _fused_bwd(scale, p_drop, block_q, masked, res, g):
+    qp, k3, v3, pos3, ub, vb, seed, kmask3 = res
     N, T, d = k3.shape
     H = pos3.shape[0]
     f32 = jnp.float32
     dq_pad, dk, dv, dpos, dub, dvb = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, p_drop=p_drop,
-                          block_q=block_q, T=T),
+                          block_q=block_q, T=T, masked=masked),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(N, T // block_q),
@@ -411,7 +429,7 @@ def _fused_bwd(scale, p_drop, block_q, res, g):
             jax.ShapeDtypeStruct((N, 8, d), f32),
         ],
         interpret=_INTERPRET,
-    )(seed, qp, k3, v3, pos3, ub, vb, g)
+    )(seed, qp, k3, v3, pos3, ub, vb, kmask3, g)
 
     B = N // H
     dqp = dq_pad.astype(qp.dtype)
@@ -421,7 +439,8 @@ def _fused_bwd(scale, p_drop, block_q, res, g):
     dub2 = dub[:, 0].reshape(B, H, d).sum(0).astype(ub.dtype)
     dvb2 = dvb[:, 0].reshape(B, H, d).sum(0).astype(vb.dtype)
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
-    return dqp, dk3, dv3, dpos3, dub2, dvb2, dseed
+    dkmask = np.zeros(kmask3.shape, jax.dtypes.float0)
+    return dqp, dk3, dv3, dpos3, dub2, dvb2, dseed, dkmask
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -433,11 +452,14 @@ def supported(T, backend=None):
 
 
 def relpos_attention(q, k, v, pos_p, u_bias, v_bias, scale,
-                     dropout_p=0.0, dropout_rng=None, block_q=None):
+                     dropout_p=0.0, dropout_rng=None, block_q=None,
+                     key_padding_mask=None):
     """Fused rel-pos attention.
 
     q/k/v: [B, T, H, Dh]; pos_p: [H, T, Dh] (batch-independent sinusoid
     projection); u_bias/v_bias: [H, Dh]. Returns ctx [B, T, H, Dh].
+    key_padding_mask: optional [B, T] bool, True AT PADDING (the
+    conformer's `attend_to_padding: false` mode).
     Falls back to the jnp reference off-TPU or for non-128-multiple T.
     """
     B, T, H, d = q.shape
@@ -447,9 +469,17 @@ def relpos_attention(q, k, v, pos_p, u_bias, v_bias, scale,
         # fwd and bwd are verified on hardware)
         return relpos_attention_reference(
             q, k, v, pos_p[None].transpose(0, 2, 1, 3), u_bias, v_bias,
-            scale, dropout_p, dropout_rng)
+            scale, dropout_p, dropout_rng,
+            key_padding_mask=key_padding_mask)
     fold = lambda x: x.transpose(0, 2, 1, 3).reshape(B * H, T, d)  # noqa
     qp = jnp.pad(fold(q), ((0, 0), (0, 8), (0, 0)))
+    masked = key_padding_mask is not None
+    if masked:
+        kvalid = (~key_padding_mask).astype(jnp.int32)       # [B, T]
+        kmask3 = jnp.broadcast_to(kvalid[:, None, None, :],
+                                  (B, H, 1, T)).reshape(B * H, 1, T)
+    else:
+        kmask3 = jnp.ones((B * H, 1, T), jnp.int32)
     if dropout_p > 0.0:
         key = dropout_rng
         if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
@@ -470,5 +500,5 @@ def relpos_attention(q, k, v, pos_p, u_bias, v_bias, scale,
     while T % bq:
         bq //= 2
     out = _fused(qp, fold(k), fold(v), pos_p, u_bias, v_bias, seed,
-                 float(scale), float(dropout_p), int(bq))
+                 kmask3, float(scale), float(dropout_p), int(bq), masked)
     return out.reshape(B, H, T, d).transpose(0, 2, 1, 3)

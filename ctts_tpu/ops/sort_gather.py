@@ -41,12 +41,19 @@ def _block_m(M):
     return None
 
 
-def supported(N, M, F, backend=None):
+def supported(N, M, F, backend=None, dtype=None):
     backend = backend or jax.default_backend()
     # F caps the VMEM working set (~16 MB/core): the scatter holds a
-    # [N, BM] one-hot + [N, F] f32 accumulator + pipeline double-buffers
+    # [N, BM] one-hot + [N, F] f32 accumulator + pipeline double-buffers.
+    # F >= 8 keeps the contraction MXU-shaped: an [N, BM] x [N, 1] matmul
+    # (e.g. the 2D coarse-pitch gather) pays full tile padding and loses
+    # to take_along_axis, and narrow int gathers are untested on hardware
+    # — the hardware harness (bench_kernels.py) exercises F=256 bf16.
+    if dtype is not None and not jnp.issubdtype(jnp.dtype(dtype),
+                                                jnp.floating):
+        return False
     return ((backend not in ("cpu",) or _INTERPRET)
-            and F <= 256 and N % 8 == 0 and _block_m(M) is not None)
+            and 8 <= F <= 256 and N % 8 == 0 and _block_m(M) is not None)
 
 
 # --------------------------------------------------------------------- #

@@ -135,7 +135,7 @@ _TP_RULES = [
 ]
 
 
-def param_spec(path, leaf, mesh=None):
+def param_spec(path, leaf, mesh=None, dropped=None):
     path_str = "/".join(str(k.key) if hasattr(k, "key") else str(k)
                         for k in path)
     for rule, spec in _TP_RULES:
@@ -143,6 +143,11 @@ def param_spec(path, leaf, mesh=None):
             if len(spec) != leaf.ndim:
                 continue
             if mesh is not None and not _divisible(leaf, spec, mesh):
+                # matched rule downgraded to replication: record it so
+                # check_tp_coverage can report lost parallelism instead of
+                # silently passing on one surviving sharded param
+                if dropped is not None:
+                    dropped.append((path_str, tuple(leaf.shape), spec))
                 continue
             return spec
     return P()
@@ -163,9 +168,10 @@ def check_tp_coverage(variables, mesh, block_type=None):
     if mesh.shape.get("model", 1) <= 1:
         return 0
     hits = 0
+    dropped = []
     def count(path, leaf):
         nonlocal hits
-        spec = param_spec(path, leaf, mesh)
+        spec = param_spec(path, leaf, mesh, dropped=dropped)
         if any(a == "model" or (isinstance(a, tuple) and "model" in a)
                for a in spec):
             hits += 1
@@ -177,6 +183,17 @@ def check_tp_coverage(variables, mesh, block_type=None):
             f"block_type={block_type!r} matches a tensor-parallel rule "
             "(parallel/mesh.py _TP_RULES) — the model axis would silently "
             "replicate. Use model=1 or add TP rules for this block.")
+    if dropped:
+        import warnings
+        ex = "; ".join(f"{p} {s}" for p, s, _ in dropped[:4])
+        warnings.warn(
+            f"{len(dropped)} parameter(s) matched a TP rule but were "
+            f"replicated because a sharded dim is not divisible by the "
+            f"model axis ({mesh.shape['model']}): {ex}"
+            + (" ..." if len(dropped) > 4 else "")
+            + f" — {hits} parameter(s) remain sharded. Pick head/channel "
+            "counts divisible by the model axis to keep full tensor "
+            "parallelism.", stacklevel=2)
     return hits
 
 

@@ -8,7 +8,32 @@ shard-aware saves — the TPU-native upgrade over torch.save of state_dicts.
 
 import os
 
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+def gather_for_save(state):
+    """Bring a (possibly multihost-sharded) train state fully to host.
+
+    Per-leaf, not per-tree: `multihost_utils.process_allgather` treats a
+    fully-addressable leaf (e.g. a scalar created outside the jitted step,
+    saved before any step runs) as per-process data and would stack it
+    across processes, corrupting its shape in the checkpoint. Such leaves
+    are replicated by construction here (every host computes them
+    identically), so they are read locally; only global sharded arrays go
+    through the allgather.
+    """
+    if jax.process_count() <= 1:
+        return jax.device_get(state)
+    from jax.experimental import multihost_utils
+
+    def gather(leaf):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            return multihost_utils.process_allgather(leaf, tiled=True)
+        return np.asarray(leaf)
+
+    return jax.tree.map(gather, state)
 
 
 def _manager(ckpt_dir, max_to_keep=None):

@@ -80,6 +80,23 @@ def main():
     # per-host slice of the global batch (DistributedSampler equivalent)
     lo, hi = pid * 4, (pid + 1) * 4
     params = run_training(mesh, x[lo:hi], y[lo:hi], params, shard_batch)
+
+    # checkpoint gather invariants (train.py _save_ckpt): global sharded
+    # leaves come back at their GLOBAL shape, fully-addressable leaves
+    # (e.g. a step counter saved before any jitted step runs) keep their
+    # shape instead of being stacked across the 2 processes
+    from ctts_tpu.utils.checkpoint import gather_for_save
+    import jax.numpy as jnp
+    state = {"params": params,
+             "step": jnp.zeros((), jnp.int32),        # fully addressable
+             "hist": jnp.ones((3,), jnp.float32)}     # fully addressable
+    gathered = gather_for_save(state)
+    assert gathered["params"]["w1"].shape == (16, 32), \
+        gathered["params"]["w1"].shape
+    assert gathered["step"].shape == (), gathered["step"].shape
+    assert gathered["hist"].shape == (3,), gathered["hist"].shape
+    print("CKPT_OK", flush=True)
+
     print(f"FINAL {checksum(params):.6f}", flush=True)
 
 

@@ -61,6 +61,7 @@ def test_two_process_training_matches_single_process():
 
     finals = []
     for out in outs:
+        assert "CKPT_OK" in out, f"checkpoint gather failed:\n{out}"
         lines = [ln for ln in out.splitlines() if ln.startswith("FINAL ")]
         assert lines, f"no FINAL line in:\n{out}"
         finals.append(float(lines[-1].split()[1]))

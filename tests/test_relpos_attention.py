@@ -106,10 +106,9 @@ def test_conformer_block_uses_kernel_in_interpret_mode():
     B, T, D, H = 2, 128, 64, 2
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.3)
-    # pos_embedding is batch-invariant in _Stack (broadcast sinusoid
-    # table) — the kernel path relies on that and reads pos[0]
-    pos = jnp.broadcast_to(
-        jnp.asarray(rng.randn(1, T, D).astype(np.float32) * 0.3), (B, T, D))
+    # pos_embedding is structurally batch-invariant: _Stack passes the
+    # unbroadcast [1, T, D] sinusoid table (a [B, T, D] one is rejected)
+    pos = jnp.asarray(rng.randn(1, T, D).astype(np.float32) * 0.3)
     m = RelativeMultiHeadAttention(d_model=D, num_heads=H, dropout=0.1)
     params = m.init(jax.random.PRNGKey(0), x, pos)
     assert ra.supported(T)          # interpret mode forces the kernel path
@@ -123,3 +122,58 @@ def test_conformer_block_uses_kernel_in_interpret_mode():
         ra.supported = orig
     np.testing.assert_allclose(np.asarray(out_kernel),
                                np.asarray(out_fallback), atol=2e-5)
+
+
+def test_masked_fused_matches_masked_reference():
+    """`attend_to_padding: false` path: fused kernel with a key-padding
+    mask equals the masked jnp reference, values and grads."""
+    from ctts_tpu.ops import relpos_attention as ra
+    B, T, H, d = 2, 256, 4, 32
+    q, k, v, pos, ub, vb = _inputs(B, T, H, d, jnp.float32, seed=3)
+    scale = 1.0 / np.sqrt(H * d)
+    lengths = np.array([200, 137])
+    mask = jnp.asarray(np.arange(T)[None, :] >= lengths[:, None])
+
+    got = ra.relpos_attention(q, k, v, pos, ub, vb, scale,
+                              key_padding_mask=mask)
+    ref = _ref_masked(ra, q, k, v, pos, ub, vb, scale, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    g_got = jax.grad(lambda a: (ra.relpos_attention(
+        *a, scale, key_padding_mask=mask) ** 2).sum())((q, k, v, pos, ub, vb))
+    g_ref = jax.grad(lambda a: (_ref_masked(
+        ra, *a, scale, mask) ** 2).sum())((q, k, v, pos, ub, vb))
+    for a, b in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def _ref_masked(ra, q, k, v, pos, ub, vb, scale, mask):
+    return ra.relpos_attention_reference(
+        q, k, v, pos[None].transpose(0, 2, 1, 3), ub, vb, scale,
+        key_padding_mask=mask)
+
+
+def test_masked_ignores_padded_key_content():
+    """With the key-padding mask, outputs at valid query rows are exactly
+    invariant to the padded positions' content (the defect the reference
+    keeps: conformer.py:244-246 never forwards the mask)."""
+    from ctts_tpu.ops import relpos_attention as ra
+    B, T, H, d = 2, 128, 2, 32
+    q, k, v, pos, ub, vb = _inputs(B, T, H, d, jnp.float32, seed=5)
+    scale = 1.0 / np.sqrt(H * d)
+    L = 90
+    mask = jnp.asarray(np.arange(T)[None, :] >= np.array([[L], [L]]))
+
+    out1 = ra.relpos_attention(q, k, v, pos, ub, vb, scale,
+                               key_padding_mask=mask)
+    bump = jnp.where(mask[..., None, None], 7.0, 0.0)
+    out2 = ra.relpos_attention(q + bump, k + bump, v + bump, pos, ub, vb,
+                               scale, key_padding_mask=mask)
+    np.testing.assert_array_equal(np.asarray(out1[:, :L]),
+                                  np.asarray(out2[:, :L]))
+
+    # and WITHOUT the mask, padded content does leak (sanity of the test)
+    out3 = ra.relpos_attention(q, k, v, pos, ub, vb, scale)
+    out4 = ra.relpos_attention(q + bump, k + bump, v + bump, pos, ub, vb,
+                               scale)
+    assert np.abs(np.asarray(out3[:, :L]) - np.asarray(out4[:, :L])).max() > 1e-4

@@ -178,15 +178,13 @@ def main():
 
 
 def _save_ckpt(save_checkpoint, ckpt_dir, state, step):
-    """Multihost-safe save: gather sharded leaves to every host, write from
-    process 0 only (single-process path is a plain device_get)."""
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        state = multihost_utils.process_allgather(state, tiled=True)
-        if jax.process_index() != 0:
-            return
-    else:
-        state = jax.device_get(state)
+    """Multihost-safe save: gather sharded leaves (per-leaf, so
+    fully-addressable leaves keep their shape — utils/checkpoint.py
+    gather_for_save), write from process 0 only."""
+    from ctts_tpu.utils.checkpoint import gather_for_save
+    state = gather_for_save(state)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     save_checkpoint(ckpt_dir, state, step)
 
 

@@ -1,0 +1,98 @@
+"""Production preprocessing on REAL speech (the wavs shipped in the
+reference's demo directory) — the fast CPU slice of
+tools/real_speech_validation.py. Skipped when the reference checkout (and
+its demo audio) is not present.
+
+What this pins that the synthetic-corpus tests cannot: the YIN f0 tracker,
+silence trim, energy and mel statistics all behaving sanely on a real
+glottal source, and the resulting stats landing near the reference's
+shipped full-corpus stats.json values.
+"""
+
+import importlib.util
+import json
+import os
+
+import numpy as np
+import pytest
+
+_TOOL = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools", "real_speech_validation.py")
+_REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(f"{_REF}/demo/LJSpeech_v0.2.1/900000"),
+    reason="reference demo audio not available")
+
+
+def _tool():
+    spec = importlib.util.spec_from_file_location("rsv", _TOOL)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def lj_micro(tmp_path_factory):
+    rsv = _tool()
+    rsv._OUT = str(tmp_path_factory.mktemp("real_speech"))
+    name, spec = "LJdemo", rsv.CORPORA["LJdemo"]
+    raw, used = rsv.build_corpus(name, spec)
+    stats, ref_stats, _ = rsv.preprocess_corpus(name, spec)
+    pre, _, _ = rsv._configs_for(name, spec)
+    return rsv, pre, used, stats, ref_stats
+
+
+def test_f0_tracker_on_real_speech(lj_micro):
+    rsv, pre, used, stats, ref_stats = lj_micro
+    f0_mean, f0_std = stats["f0_unsup"]
+    ref_mean, ref_std = ref_stats["f0_unsup"]
+    # LJSpeech is one female speaker (corpus 214 +/- 63 Hz): the tracker
+    # must land in-range on real speech — octave errors would double/halve
+    assert 0.7 * ref_mean <= f0_mean <= 1.3 * ref_mean, (f0_mean, ref_mean)
+    assert 20.0 <= f0_std <= 3.0 * ref_std, (f0_std, ref_std)
+
+    # per-utterance voicing fraction from the saved f0 tracks
+    f0_dir = os.path.join(pre["path"]["preprocessed_path"], "f0_unsup")
+    for fn in os.listdir(f0_dir):
+        f0 = np.load(os.path.join(f0_dir, fn))
+        voiced = (f0 > 0).mean()
+        assert 0.3 <= voiced <= 0.95, (fn, voiced)
+        v = f0[f0 > 0]
+        assert 80 <= np.median(v) <= 400, (fn, float(np.median(v)))
+
+
+def test_mel_energy_stats_on_real_speech(lj_micro):
+    rsv, pre, used, stats, ref_stats = lj_micro
+    # energy (L2 of linear magnitudes) within 2x of the corpus statistic
+    e_mean = stats["energy_unsup_frame"][2]
+    ref_e = ref_stats["energy_unsup_frame"][2]
+    assert 0.5 * ref_e <= e_mean <= 2.0 * ref_e, (e_mean, ref_e)
+    # log-mel range contained in the shipped full-corpus range
+    assert min(stats["spec_unsup_min"]) >= min(
+        ref_stats["spec_unsup_min"]) - 0.1
+    assert max(stats["spec_unsup_max"]) <= max(
+        ref_stats["spec_unsup_max"]) + 0.3
+
+
+def test_metadata_round_trip_through_loader(lj_micro):
+    """The micro-corpus store loads through the production Dataset with
+    the exact phone sequences the reference shipped."""
+    rsv, pre, used, stats, ref_stats = lj_micro
+    from ctts_tpu.config import get_configs_of
+    from ctts_tpu.data.dataset import Dataset
+    _, mod, tr = get_configs_of("LJSpeech")
+    from ctts_tpu.models.comp_trans_tts import prepare_model_config
+    mod["multi_speaker"] = False
+    mod = prepare_model_config(pre, mod)
+    tr = dict(tr)
+    tr["optimizer"] = dict(tr["optimizer"], batch_size=2)
+    ds = Dataset("train_unsup.txt", pre, mod, tr, sort=True)
+    assert len(ds) >= 3
+    batch = next(iter(ds.batches(group_size=1, shuffle=False)))
+    assert batch["texts"].shape[0] == 2
+    assert (batch["src_lens"] > 10).all()
+    assert np.isfinite(batch["mels"]).all()
+    # attn priors shaped to the real token/frame counts
+    B, T_m, T_s = batch["attn_priors"].shape
+    assert T_m >= batch["mel_lens"].max() and T_s >= batch["src_lens"].max()

@@ -7,11 +7,16 @@ causal=True (the reference's default, lstransformer.py:178), pre-norm layers
 with conv FFN. Hyperparameters come from the "transformer" section like the
 reference (lstransformer.py:59-69).
 
-Deviation from the reference (documented latent bug, not replicated): the
-reference passes the PADDING mask (True at pad) into attention code that
-expects a VALIDITY mask (True at valid) — lstransformer.py:322,334,358
-mask out valid tokens. Here padding positions are masked out, as intended.
-The dead code after return (lstransformer.py:205-215) is not reproduced.
+Deviation from the reference (documented latent bug, not replicated by
+default): the reference passes the PADDING mask (True at pad) into
+attention code that expects a VALIDITY mask (True at valid) —
+lstransformer.py:322,334,358 mask out valid tokens. Here padding positions
+are masked out, as intended. Setting `lstransformer.replicate_mask_bug:
+true` in the model config flips the convention back to the reference's
+inverted behavior, which is what full-model ported-weight parity tests
+pin (tests/test_parity_blocks.py) — proving the weight port and every
+other computation line up bit-for-bit with the reference stack. The dead
+code after return (lstransformer.py:205-215) is not reproduced.
 """
 
 import math
@@ -69,6 +74,7 @@ class LongShortAttention(nn.Module):
     causal: bool = True
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    mask_parity: bool = False      # replicate the reference's inverted mask
 
     @nn.compact
     def __call__(self, x, padding_mask, deterministic=True):
@@ -79,7 +85,10 @@ class LongShortAttention(nn.Module):
         pad_len = (-n) % mult
         N = n + pad_len
 
-        valid = ~padding_mask                               # True at tokens
+        # True at tokens; parity mode feeds the padding mask straight in as
+        # validity, exactly like the reference stack (lstransformer.py:
+        # 322,334,358 treat the True-at-padding mask as True-at-valid)
+        valid = padding_mask if self.mask_parity else ~padding_mask
         if pad_len:
             x = jnp.pad(x, ((0, 0), (0, pad_len), (0, 0)))
             valid = jnp.pad(valid, ((0, 0), (0, pad_len)))
@@ -206,6 +215,7 @@ class FFTBlock(nn.Module):
     segment_size: int = 16
     r: int = 1
     dtype: Any = jnp.float32
+    mask_parity: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask, deterministic=True):
@@ -217,6 +227,7 @@ class FFTBlock(nn.Module):
                 self.d_model, d_head, self.n_head,
                 window_size=self.window_size, segment_size=self.segment_size,
                 r=self.r, dropout=self.dropout, dtype=self.dtype,
+                mask_parity=self.mask_parity,
                 name=f"attn_{i}")(h, padding_mask, deterministic) + x
             x = jnp.where(padding_mask[..., None], 0.0, x)
             h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
@@ -232,6 +243,11 @@ def _cfg(model_config):
     # the reference lstransformer reads the "transformer" section
     # (lstransformer.py:59-69)
     return model_config["transformer"]
+
+
+def _mask_parity(model_config):
+    return model_config.get("lstransformer", {}).get(
+        "replicate_mask_bug", False)
 
 
 class TextEncoder(nn.Module):
@@ -252,6 +268,7 @@ class TextEncoder(nn.Module):
         x = FFTBlock(cfg["encoder_layer"], d_model, cfg["encoder_head"],
                      cfg["conv_filter_size"], tuple(cfg["conv_kernel_size"]),
                      cfg["encoder_dropout"], dtype=dtype,
+                     mask_parity=_mask_parity(self.config),
                      name="layer_stack")(x.astype(dtype), padding_mask,
                                          deterministic)
         return x.astype(jnp.float32), src_word_emb
@@ -276,6 +293,7 @@ class Decoder(nn.Module):
         x = FFTBlock(cfg["decoder_layer"], d_model, cfg["decoder_head"],
                      cfg["conv_filter_size"], tuple(cfg["conv_kernel_size"]),
                      cfg["decoder_dropout"], dtype=dtype,
+                     mask_parity=_mask_parity(self.config),
                      name="layer_stack")(x.astype(dtype), padding_mask,
                                          deterministic)
         return x.astype(jnp.float32), padding_mask

@@ -292,7 +292,12 @@ def import_reference_checkpoint(state_dict, preprocess_config, model_config):
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
           for k, v in state_dict.items()}
     block = model_config["block_type"]
-    cfg = model_config.get(block) or model_config["transformer"]
+    cfg = model_config.get(block)
+    if not cfg or "encoder_hidden" not in cfg:
+        # lstransformer reads the "transformer" hyperparameters (ref
+        # lstransformer.py:59-69); its own section (if present) only holds
+        # behavior flags like replicate_mask_bug
+        cfg = model_config["transformer"]
     vp = model_config["variance_predictor"]
     enc_h = cfg["encoder_hidden"]
 

@@ -65,8 +65,14 @@ def _batch(B=2, T_s=12, T_m=40, seed=0, padded=False):
 
 
 @pytest.mark.parametrize("block,padded", [("fastformer", False),
-                                          ("conformer", True)])
+                                          ("conformer", True),
+                                          ("lstransformer", True)])
 def test_full_model_parity(ref_env, block, padded):
+    # lstransformer: the reference wires the True-at-padding mask into
+    # attention code expecting True-at-valid (lstransformer.py:322,334,358);
+    # `replicate_mask_bug` flips our (default-correct) convention back so
+    # ported-weight parity can be asserted on PADDED batches — pinning the
+    # weight port and the whole surrounding stack against the reference.
     from model.CompTransTTS import CompTransTTS as RefModel
 
     pre, mod, tr = _ref_configs()
@@ -102,6 +108,8 @@ def test_full_model_parity(ref_env, block, padded):
 
     mod_j = copy.deepcopy(mod)
     mod_j["compute_dtype"] = "float32"
+    if block == "lstransformer":
+        mod_j["lstransformer"] = {"replicate_mask_bug": True}
     mod_j = prepare_model_config(pre, mod_j)
     model = CompTransTTS(pre, mod_j, tr)
     kwargs = dict(

@@ -5,6 +5,30 @@ waveform. Metric: real-time factor (seconds of audio generated per second of
 wall clock). Baseline target: ≥50× real time per chip (BASELINE.json
 north_star).
 
+Text distribution: by default a deterministic sample of the reference's
+shipped REAL LJSpeech transcripts (ARPAbet phone strings,
+/root/reference/preprocessed_data/LJSpeech/train_unsup.txt) through the
+production symbol table, so token and length statistics match real
+traffic. `BENCH_TEXT=synthetic` reverts to uniform tokens at max length
+(the round-1/2 configuration — reads ~5% lower because every row runs at
+the padded maximum), `BENCH_TEXT=sentences` uses 8 hardcoded sentences
+through the full G2P path.
+
+Variance: the timed section repeats BENCH_REPEATS (default 5) times of
+BENCH_ITERS (default 10) pipeline iterations each; the headline value is
+the MEDIAN over repeats, and detail carries mean/std/min/max so perf
+regressions can be separated from run-to-run noise.
+
+Batching: real utterances have heterogeneous lengths, so a single padded
+batch wastes MXU time on frames past each row's mel_len (≈40% at B=128
+random LJSpeech transcripts). Serving therefore uses length-bucketed
+batches — BENCH_BUCKETS (default 4) batches of BENCH_B built from a
+length-sorted sample, each synthesized at its own right-sized static mel
+bucket. This is the same sort-into-buckets policy the reference's own
+loader applies to training batches (ref dataset.py:229-248) and any
+production TTS server applies to requests; synthetic mode is unaffected
+(all rows equal length → one bucket).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The acoustic model and vocoder are jitted separately (one fused graph
@@ -29,8 +53,12 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(_REPO, ".cache", "jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# BENCH_TEXT=real drives these through the production text frontend instead
-# of synthetic uniform tokens (lengths and token stats match real traffic)
+_REF_TRANSCRIPTS = os.environ.get(
+    "BENCH_TRANSCRIPTS",
+    "/root/reference/preprocessed_data/LJSpeech/train_unsup.txt")
+
+# BENCH_TEXT=sentences drives these through the full lexicon/G2P frontend
+# (kept as a fallback when the reference transcript file is absent)
 _REAL_SENTENCES = [
     "The quick brown fox jumps over the lazy dog near the riverbank.",
     "Printing, in the only sense with which we are at present concerned,"
@@ -70,26 +98,46 @@ def main():
     vocoder = HiFiGANGenerator(dict(V1_CONFIG), dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
-    text_mode = os.environ.get("BENCH_TEXT", "synthetic")
+    text_mode = os.environ.get("BENCH_TEXT", "real")
     d_control = float(os.environ.get("BENCH_DCONTROL", 1.0))
+    if text_mode == "real" and not os.path.isfile(_REF_TRANSCRIPTS):
+        text_mode = "sentences"
+    n_buckets = int(os.environ.get("BENCH_BUCKETS",
+                                   4 if text_mode == "real" else 1))
     if text_mode == "real":
-        # real English sentences through the production text frontend
-        # (lexicon/G2P path if configured, grapheme cleaners otherwise), so
-        # token and length distributions match real serving traffic
+        # deterministic sample of the reference's real LJSpeech ARPAbet
+        # transcripts through the production symbol table: real token and
+        # utterance-length distribution (reference dataset.py:51-148 reads
+        # the same file)
+        from ctts_tpu.text import text_to_sequence
+        cleaners = preprocess["preprocessing"]["text"]["text_cleaners"]
+        with open(_REF_TRANSCRIPTS) as f:
+            rows = [ln.split("|")[2] for ln in f if ln.count("|") >= 3]
+        idx = np.random.RandomState(1234).choice(len(rows), B * n_buckets,
+                                                 replace=False)
+        seqs = [text_to_sequence(rows[i], cleaners)[:T_s] for i in idx]
+        seqs.sort(key=len)                   # length-bucketed serving
+    elif text_mode == "sentences":
+        # English sentences through the full text frontend (lexicon/G2P
+        # if configured, grapheme cleaners otherwise)
         from synthesize import preprocess_english
         seqs = [preprocess_english(s, preprocess)[:T_s]
                 for s in _REAL_SENTENCES]
-        seqs = (seqs * (B // len(seqs) + 1))[:B]
+        seqs = sorted((seqs * (B * n_buckets // len(seqs) + 1))
+                      [:B * n_buckets], key=len)
+    else:
+        seqs = [list(rng.randint(1, 300, size=T_s))
+                for _ in range(B * n_buckets)]
+    buckets = []
+    for g in range(n_buckets):
+        chunk = seqs[g * B:(g + 1) * B]
         texts_np = np.zeros((B, T_s), np.int32)
         lens = np.zeros((B,), np.int32)
-        for i, s in enumerate(seqs):
+        for i, s in enumerate(chunk):
             texts_np[i, :len(s)] = s
             lens[i] = len(s)
-        texts = jnp.asarray(texts_np)
-        src_lens = jnp.asarray(lens)
-    else:
-        texts = jnp.asarray(rng.randint(1, 300, size=(B, T_s)), jnp.int32)
-        src_lens = jnp.full((B,), T_s, jnp.int32)
+        buckets.append((jnp.asarray(texts_np), jnp.asarray(lens)))
+    texts, src_lens = buckets[0]
     speakers = jnp.zeros((B,), jnp.int32)
 
     am_vars = model.init(
@@ -113,34 +161,46 @@ def main():
         return acoustic
 
     # serving pattern: probe predicted total durations with a tiny mel
-    # budget, then synthesize with a right-sized static bucket
+    # budget, then synthesize each length bucket at its own right-sized
+    # static mel bucket (jits are shared between buckets with equal T_m)
     probe = make_acoustic(BUCKET)
-    _, _, durs = probe(am_vars["params"], texts, src_lens, speakers)
-    true_len = int(jnp.sum(durs, axis=1).max())
-    T_m = int(-(-max(true_len, BUCKET) // BUCKET) * BUCKET)
-    acoustic = make_acoustic(T_m)
+    acoustics = {}
+    plans = []                                # (texts, src_lens, acoustic)
+    for btexts, blens in buckets:
+        _, _, durs = probe(am_vars["params"], btexts, blens, speakers)
+        true_len = int(jnp.sum(durs, axis=1).max())
+        t_m = int(-(-max(true_len, BUCKET) // BUCKET) * BUCKET)
+        if t_m not in acoustics:
+            acoustics[t_m] = make_acoustic(t_m)
+        plans.append((btexts, blens, acoustics[t_m], t_m))
 
     @jax.jit
     def vocode(voc_params, mel):
         wav = vocoder.apply(voc_params, mel)
         return wav, wav[:, ::4096].sum()      # cheap probe to force compute
 
-    # warmup / compile
-    mel, mel_lens, _ = acoustic(am_vars["params"], texts, src_lens, speakers)
-    wav, pr = vocode(voc_vars, mel)
-    _ = float(pr) + float(mel_lens.sum())
+    # warmup / compile each bucket shape
+    for btexts, blens, acoustic, _ in plans:
+        mel, mel_lens, _ = acoustic(am_vars["params"], btexts, blens,
+                                    speakers)
+        wav, pr = vocode(voc_vars, mel)
+        _ = float(pr) + float(mel_lens.sum())
 
     # XLA cost-model FLOPs for an MFU figure (bf16 peak)
     flops = None
     try:
-        c1 = (acoustic.lower(am_vars["params"], texts, src_lens, speakers)
-              .compile().cost_analysis())
-        c2 = vocode.lower(voc_vars, mel).compile().cost_analysis()
-        c1 = c1[0] if isinstance(c1, (list, tuple)) else c1
-        c2 = c2[0] if isinstance(c2, (list, tuple)) else c2
-        flops = float(c1.get("flops", 0)) + float(c2.get("flops", 0)) or None
+        flops = 0.0
+        for btexts, blens, acoustic, _ in plans:
+            c1 = (acoustic.lower(am_vars["params"], btexts, blens, speakers)
+                  .compile().cost_analysis())
+            mel, _, _ = acoustic(am_vars["params"], btexts, blens, speakers)
+            c2 = vocode.lower(voc_vars, mel).compile().cost_analysis()
+            c1 = c1[0] if isinstance(c1, (list, tuple)) else c1
+            c2 = c2[0] if isinstance(c2, (list, tuple)) else c2
+            flops += float(c1.get("flops", 0)) + float(c2.get("flops", 0))
+        flops = flops / len(plans) or None    # per-batch average
     except Exception:
-        pass
+        flops = None
     kind = jax.devices()[0].device_kind.lower()
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 0)) * 1e12
     if not peak:
@@ -151,19 +211,27 @@ def main():
                 break
 
     iters = int(os.environ.get("BENCH_ITERS", 10))
-    t0 = time.perf_counter()
-    total_frames = 0
-    for _ in range(iters):
-        mel, mel_lens, _ = acoustic(am_vars["params"], texts, src_lens,
-                                    speakers)
-        wav, pr = vocode(voc_vars, mel)
-        total_frames += float(mel_lens.sum())
-        _ = float(pr)                         # forces full pipeline each iter
-    dt = time.perf_counter() - t0
-
-    audio_seconds = total_frames * HOP / SR
-    rtx = audio_seconds / dt
-    mfu = (flops * iters / dt / peak) if (flops and peak) else None
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
+    rtxs, frames_per_batch = [], 0.0
+    n_batches = iters * len(plans)
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        total_frames = 0.0
+        for _ in range(iters):
+            for btexts, blens, acoustic, _ in plans:
+                mel, mel_lens, _ = acoustic(am_vars["params"], btexts,
+                                            blens, speakers)
+                wav, pr = vocode(voc_vars, mel)
+                total_frames += float(mel_lens.sum())
+                _ = float(pr)                 # forces full pipeline each iter
+        dt = time.perf_counter() - t0
+        frames_per_batch = total_frames / n_batches
+        rtxs.append(total_frames * HOP / SR / dt)
+    rtxs = np.asarray(rtxs)
+    rtx = float(np.median(rtxs))
+    audio_s_per_batch = frames_per_batch * HOP / SR
+    dt_batch = audio_s_per_batch / rtx
+    mfu = (flops / dt_batch / peak) if (flops and peak) else None
     print(json.dumps({
         "metric": "batch_synthesis_xrealtime",
         "value": round(rtx, 1),
@@ -171,10 +239,19 @@ def main():
         "vs_baseline": round(rtx / 50.0, 3),
         "detail": {
             "batch": B,
-            "mel_frames_per_sec": round(total_frames / dt),
-            "wall_s_per_batch": round(dt / iters, 4),
-            "audio_s_per_batch": round(audio_seconds / iters, 2),
+            "text": text_mode,
+            "length_buckets": len(plans),
+            "bucket_mel_lens": sorted({p[3] for p in plans}),
+            "mel_frames_per_sec": round(frames_per_batch / dt_batch),
+            "wall_s_per_batch": round(dt_batch, 4),
+            "audio_s_per_batch": round(audio_s_per_batch, 2),
             "mfu_pct": round(100 * mfu, 2) if mfu else None,
+            "repeats": repeats,
+            "iters_per_repeat": iters,
+            "rtx_mean": round(float(rtxs.mean()), 1),
+            "rtx_std": round(float(rtxs.std()), 1),
+            "rtx_min": round(float(rtxs.min()), 1),
+            "rtx_max": round(float(rtxs.max()), 1),
             "device_kind": kind,
         },
     }))

@@ -94,15 +94,19 @@ def main():
         pass
 
     iters = int(os.environ.get("BENCH_ITERS", 20))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(os.path.join(
             profile_dir, model_cfg["block_type"]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
-    _ = float(metrics["total"])
-    dt = (time.perf_counter() - t0) / iters
+    dts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        _ = float(metrics["total"])
+        dts.append((time.perf_counter() - t0) / iters)
+    dt = float(np.median(dts))
     if profile_dir:
         jax.profiler.stop_trace()
 
@@ -132,6 +136,8 @@ def main():
                                      if ref_s_per_1k else None),
         "tflops_per_step": round(flops / 1e12, 3) if flops else None,
         "mfu_pct": round(100 * mfu, 2) if mfu else None,
+        "repeats": repeats,
+        "ms_std": round(float(np.std(dts)) * 1000, 3),
         "device_kind": kind,
     }
     print(json.dumps(out))

@@ -45,19 +45,25 @@ def evaluate(model, state, configs, logger=None, vocoder=None, step=None):
         count += n
     means = {k: v / count for k, v in sums.items()}
 
-    # one synthesized sample: GT vs prediction figure + audio (reference
-    # evaluate.py:71-107)
+    # one synthesized sample: the reference's full figure set — mel pair,
+    # f0/energy contour overlays, soft/hard/prior attention — plus audio
+    # (reference evaluate.py:71-107 via utils/tools.py:206-313)
     if logger is not None and sample is not None:
-        from ctts_tpu.utils.logging import plot_mel
+        from ctts_tpu.utils.figures import synth_sample_figures
         from ctts_tpu.utils.model import vocoder_infer
         import matplotlib.pyplot as plt
         batch, out = sample
         mel_len = int(np.asarray(out["mel_lens"])[0])
         pred = np.asarray(out["postnet_mel_predictions"])[0, :mel_len]
         gt = np.asarray(batch["mels"])[0, :mel_len]
-        fig = plot_mel([pred.T, gt.T], ["Synthesized", "Ground-Truth"])
-        logger.figure(f"Validation/step_{step}_{batch['ids'][0]}", fig, step)
-        plt.close(fig)
+        figs, fig_attn = synth_sample_figures(
+            batch, out, preprocess_config, model_config, idx=0)
+        if fig_attn is not None:
+            figs["attn"] = fig_attn
+        for name, fig in figs.items():
+            logger.figure(f"Validation/step_{step}_{batch['ids'][0]}_{name}",
+                          fig, step)
+            plt.close(fig)
         if vocoder is not None and vocoder[0] != "griffin_lim":
             wavs = vocoder_infer(np.stack([pred, gt]), vocoder,
                                  preprocess_config,

@@ -198,7 +198,12 @@ def test_evaluate_cli_restore_path(tmp_path):
     a = np.asarray(jax.tree.leaves(state2.params)[0])
     b = np.asarray(jax.tree.leaves(state.params)[0])
     np.testing.assert_allclose(a, b)
+    # pass a logger so the full reference figure surface (mel, f0/energy
+    # contours, soft/hard/prior attention) builds from real eval outputs
+    from ctts_tpu.utils.logging import Logger
+    logger = Logger(str(tmp_path / "log"), "val")
     message, means = evaluate(model2, state2, (pre, mod, tr),
-                              step=int(state.step))
+                              logger=logger, step=int(state.step))
+    logger.close()
     assert "Validation Step" in message
     assert means and all(np.isfinite(v) for v in means.values()), means

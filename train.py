@@ -160,8 +160,8 @@ def main():
 
                 if step % synth_step == 0:
                     _synth_preview(eval_step, state, batch, raw_batch,
-                                   vocoder, preprocess_config, train_logger,
-                                   step)
+                                   vocoder, preprocess_config, model_config,
+                                   train_logger, step)
                 if step % val_step == 0:
                     _validate(val_set, state, eval_step, mesh, val_logger,
                               step)
@@ -213,11 +213,14 @@ def _device_batch(batch):
 
 
 def _synth_preview(eval_step, state, batch, raw_batch, vocoder,
-                   preprocess_config, logger, step):
-    """One training sample: GT vs predicted mel figure, alignment figure,
-    reconstructed + synthesized audio (reference train.py:142-179)."""
+                   preprocess_config, model_config, logger, step):
+    """One training sample: the reference's full debugging surface —
+    mel pair (+ liu2021 prosody alignment), f0 contour overlays (gt /
+    cwt-reconstructed / predicted), energy contours, soft/hard/prior
+    attention trio, reconstructed + synthesized audio (reference
+    train.py:142-179 via utils/tools.py synth_one_sample:206-313)."""
     try:
-        from ctts_tpu.utils.logging import plot_mel, plot_alignment
+        from ctts_tpu.utils.figures import synth_sample_figures
         from ctts_tpu.utils.model import vocoder_infer
         import matplotlib.pyplot as plt
 
@@ -225,20 +228,15 @@ def _synth_preview(eval_step, state, batch, raw_batch, vocoder,
         i = 0
         mel_len = int(np.asarray(out["mel_lens"])[i])
         mel_pred = np.asarray(out["postnet_mel_predictions"])[i, :mel_len]
-        mel_gt = np.asarray(batch["mels"])[i, :mel_len]
-        fig = plot_mel([mel_pred.T, mel_gt.T],
-                       ["Synthesized", "Ground-Truth"])
-        logger.figure(f"Training/step_{step}_{raw_batch['ids'][i]}", fig,
-                      step)
-        plt.close(fig)
-        attn_soft = out["attn_outs"][0]
-        if attn_soft is not None:
-            src_len = int(np.asarray(batch["src_lens"])[i])
-            a = np.asarray(attn_soft)[i, :mel_len, :src_len]
-            h = np.asarray(out["attn_outs"][1])[i, :mel_len, :src_len]
-            fig = plot_alignment([a.T, h.T], ["soft", "hard"])
-            logger.figure(f"Training/attn_{step}", fig, step)
+        figs, fig_attn = synth_sample_figures(
+            batch, out, preprocess_config, model_config, idx=i)
+        base = raw_batch["ids"][i]
+        for name, fig in figs.items():
+            logger.figure(f"Training/step_{step}_{base}_{name}", fig, step)
             plt.close(fig)
+        if fig_attn is not None:
+            logger.figure(f"Training/attn_{step}", fig_attn, step)
+            plt.close(fig_attn)
         if vocoder[0] != "griffin_lim":
             wavs = vocoder_infer(mel_pred[None], vocoder, preprocess_config,
                                  lengths=[mel_len])

@@ -37,6 +37,27 @@ except Exception:                                        # pragma: no cover
 
 _SIL_PHONES = ["sil", "sp", "spn"]
 
+# per-worker Preprocessor for the parallel build_from_path pool
+_WORKER = None
+
+
+def _init_worker(preprocess_config, model_config, train_config):
+    global _WORKER
+    try:
+        # workers must never contend for the (exclusive) TPU chip; the
+        # only jax user here is the optional speaker embedder, which is
+        # fine on CPU
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    _WORKER = Preprocessor(preprocess_config, model_config, train_config)
+
+
+def _worker_utterance(task):
+    tg_path, speaker, basename = task
+    return _WORKER.process_utterance(tg_path, speaker, basename)
+
 _DIRS = ["mel_unsup", "mel_sup", "f0_unsup", "f0_sup", "pitch_unsup",
          "pitch_sup", "cwt_spec_unsup", "cwt_spec_sup", "cwt_scales_unsup",
          "cwt_scales_sup", "f0cwt_mean_std_unsup", "f0cwt_mean_std_sup",
@@ -75,6 +96,9 @@ class Preprocessor:
         random.seed(train_config["seed"])
         p = preprocess_config["preprocessing"]
         self.config = preprocess_config
+        # kept for worker re-init (build_from_path parallel path)
+        self.model_config = model_config
+        self.train_config = train_config
         self.multi_speaker = model_config["multi_speaker"]
         self.in_dir = preprocess_config["path"]["raw_path"]
         self.out_dir = preprocess_config["path"]["preprocessed_path"]
@@ -151,6 +175,7 @@ class Preprocessor:
 
         sub_dirs = sorted(d for d in os.listdir(self.in_dir)
                           if os.path.isdir(os.path.join(self.in_dir, d)))
+        tasks = []
         for i, speaker in enumerate(sub_dirs):
             speakers[speaker] = i
             spk_dir = os.path.join(self.in_dir, speaker)
@@ -160,43 +185,51 @@ class Preprocessor:
                 basename = wav_name[:-4]
                 tg_path = os.path.join(self.out_dir, "TextGrid", speaker,
                                        f"{basename}.TextGrid")
-                r = self.process_utterance(tg_path, speaker, basename)
-                if r is None:
-                    filtered_unsup.add(basename)
-                    filtered_sup.add(basename)
-                    continue
-                if r["info_unsup"] is not None:
-                    (val_unsup if (self.val_unsup_prior is not None
-                                   and basename in self.val_unsup_prior)
-                     else (train_unsup if self.val_unsup_prior is not None
-                           else out_unsup)).append(r["info_unsup"])
-                    f0s_unsup.append(r["f0_unsup"])
-                    e_unsup_frame.update(r["energy_unsup_frame"])
-                    mel_min["unsup"] = np.minimum(mel_min["unsup"],
-                                                  r["mel_unsup_min"])
-                    mel_max["unsup"] = np.maximum(mel_max["unsup"],
-                                                  r["mel_unsup_max"])
-                else:
-                    filtered_unsup.add(basename)
-                if r["info_sup"] is not None:
-                    (val_sup if (self.val_sup_prior is not None
-                                 and basename in self.val_sup_prior)
-                     else (train_sup if self.val_sup_prior is not None
-                           else out_sup)).append(r["info_sup"])
-                    f0s_sup.append(r["f0_sup"])
-                    e_sup_frame.update(r["energy_sup_frame"])
-                    e_sup_phone.update(r["energy_sup_phone"])
-                    mel_min["sup"] = np.minimum(mel_min["sup"],
-                                                r["mel_sup_min"])
-                    mel_max["sup"] = np.maximum(mel_max["sup"],
-                                                r["mel_sup_max"])
-                else:
-                    filtered_sup.add(basename)
-                if r["spker_embed"] is not None:
-                    spker_embeds.setdefault(speaker, []).append(
-                        r["spker_embed"])
-                n_frames += r["n"]
-                max_seq_len = max(max_seq_len, r["n"])
+                tasks.append((tg_path, speaker, basename))
+
+        # The per-utterance pipeline (trim, STFT, f0, CWT, priors, .npy
+        # writes) is embarrassingly parallel; the reference runs it serial
+        # (preprocessor.py:92-361). CTTS_PREPROCESS_WORKERS > 1 fans it out
+        # over an order-preserving process pool — results reduce in the
+        # SAME deterministic order as the serial loop, so stats, splits and
+        # every .npy are bit-for-bit identical for any worker count.
+        for _, speaker, basename, r in self._run_utterances(tasks):
+            if r is None:
+                filtered_unsup.add(basename)
+                filtered_sup.add(basename)
+                continue
+            if r["info_unsup"] is not None:
+                (val_unsup if (self.val_unsup_prior is not None
+                               and basename in self.val_unsup_prior)
+                 else (train_unsup if self.val_unsup_prior is not None
+                       else out_unsup)).append(r["info_unsup"])
+                f0s_unsup.append(r["f0_unsup"])
+                e_unsup_frame.update(r["energy_unsup_frame"])
+                mel_min["unsup"] = np.minimum(mel_min["unsup"],
+                                              r["mel_unsup_min"])
+                mel_max["unsup"] = np.maximum(mel_max["unsup"],
+                                              r["mel_unsup_max"])
+            else:
+                filtered_unsup.add(basename)
+            if r["info_sup"] is not None:
+                (val_sup if (self.val_sup_prior is not None
+                             and basename in self.val_sup_prior)
+                 else (train_sup if self.val_sup_prior is not None
+                       else out_sup)).append(r["info_sup"])
+                f0s_sup.append(r["f0_sup"])
+                e_sup_frame.update(r["energy_sup_frame"])
+                e_sup_phone.update(r["energy_sup_phone"])
+                mel_min["sup"] = np.minimum(mel_min["sup"],
+                                            r["mel_sup_min"])
+                mel_max["sup"] = np.maximum(mel_max["sup"],
+                                            r["mel_sup_max"])
+            else:
+                filtered_sup.add(basename)
+            if r["spker_embed"] is not None:
+                spker_embeds.setdefault(speaker, []).append(
+                    r["spker_embed"])
+            n_frames += r["n"]
+            max_seq_len = max(max_seq_len, r["n"])
 
         # per-speaker mean embedding (preprocessor.py:259-263)
         for speaker, embeds in spker_embeds.items():
@@ -260,6 +293,33 @@ class Preprocessor:
         return train_unsup, val_unsup, train_sup, val_sup
 
     # -------------------------------------------------------------- #
+
+    def _run_utterances(self, tasks):
+        """Yield (tg_path, speaker, basename, result) for every task, in
+        task order. CTTS_PREPROCESS_WORKERS > 1 runs process_utterance in a
+        spawn-based process pool (each worker rebuilds the Preprocessor
+        from the configs, sidestepping the unpicklable g2p closure /
+        embedder); imap preserves submission order, so the caller's
+        reduction is identical to the serial loop's.
+
+        Standard spawn semantics apply: the driving script must be
+        import-safe (``if __name__ == "__main__"`` guard, as preprocess.py
+        has), or workers re-execute it on import."""
+        n_workers = int(os.environ.get("CTTS_PREPROCESS_WORKERS", "1"))
+        if n_workers <= 1 or len(tasks) < 2:
+            for tg_path, speaker, basename in tasks:
+                yield (tg_path, speaker, basename,
+                       self.process_utterance(tg_path, speaker, basename))
+            return
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        n_workers = min(n_workers, len(tasks))
+        with ctx.Pool(n_workers, initializer=_init_worker,
+                      initargs=(self.config, self.model_config,
+                                self.train_config)) as pool:
+            for task, r in zip(tasks, pool.imap(_worker_utterance, tasks,
+                                                chunksize=4)):
+                yield (*task, r)
 
     def load_audio(self, wav_path):
         """(preprocessor.py:363-368)"""

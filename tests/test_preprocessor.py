@@ -143,3 +143,39 @@ def test_preprocess_and_train(corpus):
     db = {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
     state, metrics = step_fn(state, db, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_parallel_worker_pool_bit_identical(corpus, tmp_path, monkeypatch):
+    """CTTS_PREPROCESS_WORKERS=2 must reproduce the serial build
+    bit-for-bit: same stats.json, same splits, same bytes in every .npy
+    (the pool preserves task order, so every reduction is identical)."""
+    import filecmp
+    import json
+    import shutil
+
+    raw, out = corpus
+    outs = {}
+    for name, workers in (("serial", "1"), ("pool", "2")):
+        dst = tmp_path / name
+        (dst / "TextGrid").mkdir(parents=True)
+        shutil.copytree(os.path.join(out, "TextGrid", "LJSpeech"),
+                        str(dst / "TextGrid" / "LJSpeech"))
+        pre, mod, tr = tiny_configs()
+        pre["path"]["raw_path"] = raw
+        pre["path"]["preprocessed_path"] = str(dst)
+        pre["preprocessing"]["val_size"] = 1
+        monkeypatch.setenv("CTTS_PREPROCESS_WORKERS", workers)
+        from ctts_tpu.preprocessing.preprocessor import Preprocessor
+        Preprocessor(pre, mod, tr).build_from_path()
+        outs[name] = dst
+
+    a, b = outs["serial"], outs["pool"]
+    assert json.load(open(a / "stats.json")) == json.load(
+        open(b / "stats.json"))
+    for txt in ("train_unsup.txt", "val_unsup.txt", "train_sup.txt",
+                "val_sup.txt", "speakers.json"):
+        assert (a / txt).read_text() == (b / txt).read_text(), txt
+    npys = sorted(p.relative_to(a) for p in a.rglob("*.npy"))
+    assert npys == sorted(p.relative_to(b) for p in b.rglob("*.npy"))
+    for rel in npys:
+        assert filecmp.cmp(a / rel, b / rel, shallow=False), rel

@@ -144,6 +144,21 @@ def main():
         {"params": jax.random.PRNGKey(0)}, speakers=speakers, texts=texts,
         src_lens=src_lens, mode="infer", max_mel_len=BUCKET,
         deterministic=True)
+    ckpt = os.environ.get("BENCH_CKPT")
+    if ckpt:
+        # drive trained weights (e.g. output/real_speech/LJdemo/ckpt from
+        # tools/real_speech_validation.py) so predicted durations carry a
+        # learned distribution rather than a random-init net's
+        from ctts_tpu.utils.checkpoint import restore_checkpoint_raw
+        restored, step = restore_checkpoint_raw(os.path.abspath(ckpt))
+        if not step:
+            raise SystemExit(f"BENCH_CKPT: no checkpoint under {ckpt}")
+        am_vars = dict(am_vars)
+        am_vars["params"] = restored["params"]
+        if restored.get("batch_stats"):
+            am_vars["batch_stats"] = restored["batch_stats"]
+        print(f"# loaded checkpoint step {step} from {ckpt}",
+              file=sys.stderr)
     voc_vars = vocoder.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, 16, 80), jnp.float32))
 

@@ -64,6 +64,25 @@ def restore_checkpoint(ckpt_dir, state, step=None):
     return restored, step
 
 
+def restore_checkpoint_raw(ckpt_dir, step=None):
+    """Restore the on-disk tree as host numpy arrays, no template.
+
+    For consumers whose init-time tree is a SUBSET of the saved one (e.g.
+    bench.py inits in infer mode, which never calls the aligner, while the
+    checkpoint came from a train_unsup state) — flax `apply` ignores unused
+    params, so handing it the full saved tree is safe. Returns (tree, step);
+    (None, 0) if the directory holds no checkpoint."""
+    mgr = _manager(ckpt_dir)
+    if step is None:
+        step = mgr.latest_step()
+        if step is None:
+            mgr.close()
+            return None, 0
+    restored = mgr.restore(step, args=ocp.args.PyTreeRestore())
+    mgr.close()
+    return restored, step
+
+
 def latest_step(ckpt_dir):
     if not os.path.isdir(ckpt_dir):
         return None

@@ -45,7 +45,19 @@ class _Conv(nn.Module):
 
 
 class _ConvTranspose(nn.Module):
-    """Matches torch ConvTranspose1d(k, stride=u, padding=(k-u)//2)."""
+    """Matches torch ConvTranspose1d(k, stride=u, padding=(k-u)//2).
+
+    On TPU the strided transposed conv lowers to a scatter-shaped op that
+    wastes MXU cycles; for HiFi-GAN V1 every upsample has k = 2u, so the
+    SAME math reassociates into a dense kernel-2 conv producing u·C_out
+    channels followed by a depth-to-space reshape and a u/2 phase shift
+    (subpixel convolution). Derivation: with torch's crop pad = (k-u)//2 =
+    u/2,  y[n] = Σ_in x[q', in]·W[s, o, in] + x[q'-1, in]·W[s+u, o, in]
+    where q' = (n + u/2) // u and s = (n + u/2) mod u — exactly two input
+    taps per output, independent of n. The kernel-2 conv is one
+    [2·C_in → u·C_out] matmul per input frame: pure MXU work.
+    `CTTS_SUBPIX=0` falls back to lax.conv_transpose for A/B testing.
+    """
     features: int
     kernel_size: int
     stride: int
@@ -53,14 +65,36 @@ class _ConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        k, u = self.kernel_size, self.stride
+        import os
+        k, u, co = self.kernel_size, self.stride, self.features
+        ci = x.shape[-1]
+        # same layout nn.ConvTranspose(transpose_kernel=True) used: [k, out, in]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, co, ci))
+        bias = self.param("bias", nn.initializers.zeros, (co,))
         pad = (k - u) // 2
-        y = nn.ConvTranspose(self.features, (k,), strides=(u,),
-                             padding="VALID", dtype=self.dtype,
-                             param_dtype=jnp.float32,
-                             transpose_kernel=True)(x)
-        # VALID length = (T-1)·u + k; torch crops `pad` from both sides
-        return y[:, pad: y.shape[1] - (k - u - pad), :]
+        subpix = (k == 2 * u and u % 2 == 0
+                  and os.environ.get("CTTS_SUBPIX", "1") == "1")
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        if not subpix:
+            y = jax.lax.conv_transpose(
+                xd, kd, strides=(u,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                transpose_kernel=True)
+            y = y[:, pad: y.shape[1] - (k - u - pad), :]
+            return y + bias.astype(self.dtype)
+        B, T = x.shape[0], x.shape[1]
+        # tap 0 multiplies x[q'-1] with W[s+u], tap 1 multiplies x[q'] with
+        # W[s]:  [2, C_in, u*C_out], phase-major output channels
+        k_new = jnp.stack([
+            kd[u:2 * u].transpose(2, 0, 1).reshape(ci, u * co),
+            kd[0:u].transpose(2, 0, 1).reshape(ci, u * co)], axis=0)
+        c = jax.lax.conv_general_dilated(
+            xd, k_new, window_strides=(1,), padding=[(1, 1)],
+            dimension_numbers=("NWC", "WIO", "NWC"))          # [B, T+1, u*co]
+        y = c.reshape(B, (T + 1) * u, co)[:, u // 2: u // 2 + T * u, :]
+        return y + bias.astype(self.dtype)
 
 
 class ResBlock1(nn.Module):
@@ -165,8 +199,8 @@ def load_torch_generator(path):
         "kernel": conv_w("conv_pre"), "bias": sd["conv_pre.bias"]}}
     n_ups = len(V1_CONFIG["upsample_rates"])
     for i in range(n_ups):
-        params[f"ups_{i}"] = {"ConvTranspose_0": {
-            "kernel": convT_w(f"ups.{i}"), "bias": sd[f"ups.{i}.bias"]}}
+        params[f"ups_{i}"] = {
+            "kernel": convT_w(f"ups.{i}"), "bias": sd[f"ups.{i}.bias"]}
     n_res = len(V1_CONFIG["resblock_kernel_sizes"])
     for r in range(n_ups * n_res):
         params[f"resblocks_{r}"] = {

@@ -62,16 +62,36 @@ class _UpsampleConvT(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        r = self.ratio
+        import os
+        import jax
+        r, co, ci = self.ratio, self.features, x.shape[-1]
         k = 2 * r
         pad = r // 2 + r % 2
         out_pad = r % 2
-        y = nn.ConvTranspose(self.features, (k,), strides=(r,),
-                             padding="VALID", transpose_kernel=True,
-                             dtype=self.dtype, param_dtype=jnp.float32)(x)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, co, ci))
+        bias = self.param("bias", nn.initializers.zeros, (co,))
+        xd, kd = x.astype(self.dtype), kernel.astype(self.dtype)
+        # every descript-melgan ratio is even → pad = r/2, out_pad = 0: the
+        # identical subpixel reassociation as hifigan._ConvTranspose (one
+        # kernel-2 dense conv to r·C_out channels + depth-to-space + r/2
+        # phase shift) — exact same math, MXU-shaped
+        if r % 2 == 0 and os.environ.get("CTTS_SUBPIX", "1") == "1":
+            B, T = x.shape[0], x.shape[1]
+            k_new = jnp.stack([
+                kd[r:2 * r].transpose(2, 0, 1).reshape(ci, r * co),
+                kd[0:r].transpose(2, 0, 1).reshape(ci, r * co)], axis=0)
+            c = jax.lax.conv_general_dilated(
+                xd, k_new, window_strides=(1,), padding=[(1, 1)],
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            y = c.reshape(B, (T + 1) * r, co)[:, r // 2: r // 2 + T * r, :]
+            return y + bias.astype(self.dtype)
+        y = jax.lax.conv_transpose(
+            xd, kd, strides=(r,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"), transpose_kernel=True)
         # torch length: (T-1)r - 2·pad + k + out_pad; VALID gives (T-1)r + k
         end = y.shape[1] - (2 * pad - out_pad) + pad
-        return y[:, pad:end, :]
+        return y[:, pad:end, :] + bias.astype(self.dtype)
 
 
 class MelGANGenerator(nn.Module):
@@ -167,7 +187,7 @@ def load_torch_melgan(path, ratios=(8, 8, 2, 2), n_residual_layers=3):
 
     params = {"conv_in": {"Conv_0": conv(str(conv_in_i))}}
     for u, (up, group) in enumerate(zip(up_is, groups)):
-        params[f"up_{u}"] = {"ConvTranspose_0": convT(str(up))}
+        params[f"up_{u}"] = convT(str(up))
         for j, ri in enumerate(group):
             params[f"res_{u}_{j}"] = {
                 "block_conv": {"Conv_0": conv(f"{ri}.block.2")},

@@ -49,3 +49,24 @@ def test_hifigan_matches_torch_reference(tmp_path):
 
     assert got.shape == ref.shape == (2, 37 * 256)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_subpixel_upsample_equals_conv_transpose(monkeypatch):
+    """The subpixel reformulation is the same math as the strided transposed
+    conv (see _ConvTranspose docstring) — check both lowerings agree for
+    every (k, u) in the V1 config."""
+    from ctts_tpu.vocoder.hifigan import _ConvTranspose, V1_CONFIG
+
+    rng = np.random.RandomState(1)
+    for k, u in zip(V1_CONFIG["upsample_kernel_sizes"],
+                    V1_CONFIG["upsample_rates"]):
+        m = _ConvTranspose(features=24, kernel_size=k, stride=u)
+        x = jnp.asarray(rng.randn(2, 19, 16).astype(np.float32))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("CTTS_SUBPIX", "1")
+        sub = m.apply(variables, x)
+        monkeypatch.setenv("CTTS_SUBPIX", "0")
+        ref = m.apply(variables, x)
+        assert sub.shape == ref.shape == (2, 19 * u, 24)
+        np.testing.assert_allclose(np.asarray(sub), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)

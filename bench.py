@@ -144,7 +144,14 @@ def main():
         {"params": jax.random.PRNGKey(0)}, speakers=speakers, texts=texts,
         src_lens=src_lens, mode="infer", max_mel_len=BUCKET,
         deterministic=True)
-    ckpt = os.environ.get("BENCH_CKPT")
+    # default to the real-speech-validation checkpoint when it exists so
+    # the headline figure runs with learned (not random-init) duration
+    # statistics; BENCH_CKPT= (empty) disables, BENCH_CKPT=path overrides
+    weights = "random_init"
+    _default_ckpt = os.path.join(_REPO, "output/real_speech/LJdemo/ckpt")
+    ckpt = os.environ.get(
+        "BENCH_CKPT",
+        _default_ckpt if os.path.isdir(_default_ckpt) else "")
     if ckpt:
         # drive trained weights (e.g. output/real_speech/LJdemo/ckpt from
         # tools/real_speech_validation.py) so predicted durations carry a
@@ -159,6 +166,7 @@ def main():
             am_vars["batch_stats"] = restored["batch_stats"]
         print(f"# loaded checkpoint step {step} from {ckpt}",
               file=sys.stderr)
+        weights = f"trained_step{step}"
     voc_vars = vocoder.init(jax.random.PRNGKey(1),
                             jnp.zeros((1, 16, 80), jnp.float32))
 
@@ -267,6 +275,7 @@ def main():
             "rtx_std": round(float(rtxs.std()), 1),
             "rtx_min": round(float(rtxs.min()), 1),
             "rtx_max": round(float(rtxs.max()), 1),
+            "weights": weights,
             "device_kind": kind,
         },
     }))

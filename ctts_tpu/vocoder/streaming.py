@@ -1,0 +1,85 @@
+"""Chunked (streaming) vocoding with exact overlap-crop.
+
+The acoustic model is non-autoregressive, so end-to-end latency is
+dominated by vocoding the WHOLE utterance before the first sample can be
+played. The HiFi-GAN generator is a finite-receptive-field convnet: output
+sample n depends only on mel frames within RF_MEL frames of n // hop.
+Vocoding a window of `chunk + 2*halo` frames and cropping the center
+`chunk * hop` samples is therefore mathematically EXACT vs the full pass
+whenever `halo >= RF_MEL` — including through every nonlinearity, because
+the receptive-field bound is pure locality. Conv edge padding only corrupts
+samples within RF of the *window* edges, which the crop discards; at the
+true utterance edges the window boundary coincides with the utterance
+boundary, so the conv padding there matches the full pass too. In practice
+the window and full graphs compile at different shapes, so XLA fusion
+reassociates float sums differently: the observed deviation is
+~5e-7 absolute on a tanh-bounded [-1, 1] signal (float32 epsilon, NOT a
+halo artifact — it does not grow near chunk boundaries).
+`tests/test_streaming.py` checks this bound and measures the true RF by
+input perturbation.
+
+Every window has the same static shape → ONE compiled graph regardless of
+utterance length; the host loop dispatches windows asynchronously, so
+time-to-first-audio shrinks to ~(chunk + 2*halo)/T of the full vocode while
+the chunks behind it pipeline on-device.
+
+For HiFi-GAN V1 the measured mel-frame receptive field is 13 frames per
+side (conv_pre 3 + transposed convs + MRF stacks, each divided by its
+stage's upsampling rate); RF_MEL = 16 leaves slack for config tweaks.
+
+The reference has no streaming path (it vocodes full utterances,
+ref utils/model.py:74-92); this is a serving capability on top of parity.
+"""
+
+import jax
+import jax.numpy as jnp
+
+# conservative per-side receptive field of HiFi-GAN V1 in mel frames
+# (measured 13 in tests/test_streaming.py::test_receptive_field)
+RF_MEL = 16
+
+
+def make_chunked_vocoder(apply_fn, variables, chunk=64, halo=RF_MEL,
+                         hop=256):
+    """Build a streaming vocoder from a full-utterance apply function.
+
+    apply_fn(variables, mel[B, W, n_mel]) -> wav[B, W*hop] is the ordinary
+    generator call (e.g. HiFiGANGenerator.apply). Returns
+    `stream(mel) -> iterator of wav chunks [B, chunk*hop]`, exact w.r.t.
+    apply_fn(variables, mel) up to float-reassociation noise (~1e-6) as
+    long as halo >= the generator's mel-frame receptive field and mel has
+    at least chunk + 2*halo frames.
+    """
+    if chunk <= 0 or halo < 0:
+        raise ValueError(f"bad chunk={chunk} / halo={halo}")
+    window = chunk + 2 * halo
+
+    @jax.jit
+    def _vocode_window(mel_win):
+        return apply_fn(variables, mel_win)
+
+    def stream(mel):
+        T = mel.shape[1]
+        if T % chunk:
+            raise ValueError(f"mel length {T} not a multiple of "
+                             f"chunk={chunk} (pad to the serving bucket)")
+        if T < window:
+            # short utterance: one full pass is already "streamed"
+            yield apply_fn(variables, mel)
+            return
+        n = T // chunk
+        for i in range(n):
+            s = i * chunk - halo
+            # clamp the window inside the utterance so its edges coincide
+            # with the true edges exactly when the chunk touches them (conv
+            # padding then matches the full pass); interior windows carry
+            # real frames on both sides and the crop discards everything
+            # within RF of the window edges
+            off = min(max(s, 0), T - window)
+            wav = _vocode_window(
+                jax.lax.dynamic_slice_in_dim(mel, off, window, axis=1))
+            crop = (i * chunk - off) * hop
+            yield jax.lax.dynamic_slice_in_dim(
+                wav, crop, chunk * hop, axis=1)
+
+    return stream

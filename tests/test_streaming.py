@@ -1,0 +1,75 @@
+"""Chunked streaming vocoder: exactness vs the full pass (to float
+reassociation) + measured receptive field (ctts_tpu/vocoder/streaming.py).
+
+The halo-crop construction is mathematically exact; the only deviation
+between the chunked and full outputs is XLA compiling the two shapes with
+different fusion orders, which reassociates float32 sums (~5e-7 on a
+tanh-bounded signal). A halo bug would instead show errors GROWING toward
+chunk boundaries at signal scale (~0.1), so the tight uniform atol below
+distinguishes the two regimes decisively."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ctts_tpu.vocoder.hifigan import HiFiGANGenerator, V1_CONFIG
+from ctts_tpu.vocoder.streaming import make_chunked_vocoder, RF_MEL
+
+
+def _small_gen():
+    """V1 topology with narrow channels so the CPU test stays fast; the
+    receptive field depends only on kernels/strides, not widths."""
+    cfg = dict(V1_CONFIG, upsample_initial_channel=32)
+    gen = HiFiGANGenerator(cfg)
+    mel0 = jnp.zeros((1, 16, 80), jnp.float32)
+    var = gen.init(jax.random.PRNGKey(0), mel0)
+    return gen, var
+
+
+def test_receptive_field():
+    gen, var = _small_gen()
+    rng = np.random.RandomState(0)
+    T = 64
+    mel = jnp.asarray(rng.randn(1, T, 80).astype(np.float32))
+    base = np.asarray(gen.apply(var, mel))
+    t0 = T // 2
+    pert = mel.at[:, t0, :].add(1.0)
+    diff = np.abs(np.asarray(gen.apply(var, pert)) - base)[0]
+    changed = np.nonzero(diff > 1e-7)[0]
+    lo_frame = t0 - changed.min() // 256        # frames of left influence
+    hi_frame = changed.max() // 256 - t0
+    rf = max(lo_frame, hi_frame)
+    assert rf <= RF_MEL, f"measured RF {rf} exceeds RF_MEL={RF_MEL}"
+    assert rf >= 8      # sanity: the MRF stacks reach several frames
+
+
+def test_chunked_vocoder_is_exact():
+    gen, var = _small_gen()
+    rng = np.random.RandomState(1)
+    B, T, chunk = 2, 128, 32
+    mel = jnp.asarray(rng.randn(B, T, 80).astype(np.float32) * 2 - 5)
+    full = np.asarray(gen.apply(var, mel))
+
+    stream = make_chunked_vocoder(gen.apply, var, chunk=chunk)
+    chunks = [np.asarray(c) for c in stream(mel)]
+    assert len(chunks) == T // chunk
+    got = np.concatenate(chunks, axis=1)
+    assert got.shape == full.shape
+    # float32-epsilon agreement everywhere, including at every chunk
+    # boundary and the utterance edges (signal rms ~0.37, so 2e-6 is
+    # ~5 orders of magnitude below a halo artifact)
+    np.testing.assert_allclose(got, full, rtol=0, atol=2e-6)
+    # the error must NOT concentrate at chunk boundaries
+    for i in range(1, T // chunk):
+        edge = abs(got - full)[:, i * chunk * 256 - 256:i * chunk * 256 + 256]
+        assert edge.max() < 2e-6
+
+
+def test_chunked_vocoder_short_utterance_fallback():
+    gen, var = _small_gen()
+    rng = np.random.RandomState(2)
+    mel = jnp.asarray(rng.randn(1, 32, 80).astype(np.float32))
+    stream = make_chunked_vocoder(gen.apply, var, chunk=32, halo=16)
+    (only,) = list(stream(mel))
+    np.testing.assert_array_equal(np.asarray(only),
+                                  np.asarray(gen.apply(var, mel)))

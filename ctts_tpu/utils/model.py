@@ -130,3 +130,34 @@ def vocoder_infer(mels, vocoder_tuple, preprocess_config, lengths=None):
         n = int(lengths[i]) * hop if lengths is not None else wavs.shape[1]
         out.append(wavs[i, :n])
     return out
+
+
+def vocoder_stream(mels, vocoder_tuple, preprocess_config, chunk=64):
+    """Chunked streaming variant of vocoder_infer: yields int16 wav chunks
+    [B, chunk*hop] as they come off the device, so audio playback (or a
+    network response) can start after ~one window instead of after the full
+    utterance (ctts_tpu/vocoder/streaming.py; exact vs the full pass up to
+    float reassociation). Concatenate the chunks and trim each row to
+    `lengths[i]*hop` to recover vocoder_infer's output (any T works; the
+    last chunk is shorter when T is not a chunk multiple). The reference
+    has no streaming path (it vocodes full utterances, utils/model.py:74-92).
+    """
+    from ctts_tpu.vocoder.streaming import (make_chunked_vocoder, RF_MEL,
+                                            RF_MEL_MELGAN)
+    name, model, variables = vocoder_tuple
+    max_wav_value = preprocess_config["preprocessing"]["audio"]["max_wav_value"]
+    hop = preprocess_config["preprocessing"]["stft"]["hop_length"]
+    mels = np.asarray(mels)
+    if name == "HiFi-GAN":
+        halo = RF_MEL
+    elif name == "MelGAN":
+        halo = RF_MEL_MELGAN
+        mels = mels / np.log(10)
+    else:
+        raise ValueError(f"vocoder {name!r} has no streaming path "
+                         "(griffin-lim is host-side and non-causal)")
+    stream = make_chunked_vocoder(model.apply, variables, chunk=chunk,
+                                  halo=halo, hop=hop)
+    for wav in stream(jnp.asarray(mels)):
+        yield (np.asarray(wav) * max_wav_value).clip(
+            -max_wav_value, max_wav_value - 1).astype(np.int16)

@@ -34,9 +34,11 @@ ref utils/model.py:74-92); this is a serving capability on top of parity.
 import jax
 import jax.numpy as jnp
 
-# conservative per-side receptive field of HiFi-GAN V1 in mel frames
-# (measured 13 in tests/test_streaming.py::test_receptive_field)
+# conservative per-side receptive fields in mel frames (measured by input
+# perturbation in tests/test_streaming.py::test_receptive_field: HiFi-GAN V1
+# = 13, MelGAN = 6; the constants leave slack for config tweaks)
 RF_MEL = 16
+RF_MEL_MELGAN = 8
 
 
 def make_chunked_vocoder(apply_fn, variables, chunk=64, halo=RF_MEL,
@@ -45,7 +47,8 @@ def make_chunked_vocoder(apply_fn, variables, chunk=64, halo=RF_MEL,
 
     apply_fn(variables, mel[B, W, n_mel]) -> wav[B, W*hop] is the ordinary
     generator call (e.g. HiFiGANGenerator.apply). Returns
-    `stream(mel) -> iterator of wav chunks [B, chunk*hop]`, exact w.r.t.
+    `stream(mel) -> iterator of wav chunks [B, chunk*hop]` (the last chunk
+    is [B, (T % chunk)*hop] when T is not a chunk multiple), exact w.r.t.
     apply_fn(variables, mel) up to float-reassociation noise (~1e-6) as
     long as halo >= the generator's mel-frame receptive field and mel has
     at least chunk + 2*halo frames.
@@ -60,15 +63,12 @@ def make_chunked_vocoder(apply_fn, variables, chunk=64, halo=RF_MEL,
 
     def stream(mel):
         T = mel.shape[1]
-        if T % chunk:
-            raise ValueError(f"mel length {T} not a multiple of "
-                             f"chunk={chunk} (pad to the serving bucket)")
         if T < window:
             # short utterance: one full pass is already "streamed"
             yield apply_fn(variables, mel)
             return
-        n = T // chunk
-        for i in range(n):
+        n_full, tail = divmod(T, chunk)
+        for i in range(n_full):
             s = i * chunk - halo
             # clamp the window inside the utterance so its edges coincide
             # with the true edges exactly when the chunk touches them (conv
@@ -81,5 +81,16 @@ def make_chunked_vocoder(apply_fn, variables, chunk=64, halo=RF_MEL,
             crop = (i * chunk - off) * hop
             yield jax.lax.dynamic_slice_in_dim(
                 wav, crop, chunk * hop, axis=1)
+        if tail:
+            # final partial chunk: end-align the SAME static window shape
+            # to the true utterance edge (so conv padding there matches the
+            # full pass) and crop the last tail*hop samples; the crop sits
+            # window-tail >= halo frames from the window's left edge, so
+            # locality still guarantees exactness
+            off = T - window
+            wav = _vocode_window(
+                jax.lax.dynamic_slice_in_dim(mel, off, window, axis=1))
+            yield jax.lax.dynamic_slice_in_dim(
+                wav, (window - tail) * hop, tail * hop, axis=1)
 
     return stream

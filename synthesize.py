@@ -29,7 +29,8 @@ jax.config.update("jax_compilation_cache_dir",
 from ctts_tpu.config import get_configs_of
 from ctts_tpu.text import text_to_sequence
 from ctts_tpu.utils.logging import plot_mel
-from ctts_tpu.utils.model import get_model, get_vocoder, vocoder_infer
+from ctts_tpu.utils.model import (get_model, get_vocoder, vocoder_infer,
+                                  vocoder_stream)
 
 
 def read_lexicon(lex_path):
@@ -120,7 +121,7 @@ def punctuation_strip(text):
 
 
 def synthesize(model, variables, batch, configs, vocoder, controls,
-               result_dir, max_mel_len=None, bucket=128):
+               result_dir, max_mel_len=None, bucket=128, stream_chunk=0):
     preprocess_config, model_config, train_config = configs
     p, e, d = controls
 
@@ -147,7 +148,28 @@ def synthesize(model, variables, batch, configs, vocoder, controls,
 
     mels = np.asarray(out["postnet_mel_predictions"])
     mel_lens = np.asarray(out["mel_lens"])
-    wavs = vocoder_infer(mels, vocoder, preprocess_config, lengths=mel_lens)
+    if stream_chunk and vocoder[0] != "griffin_lim":
+        # chunked streaming vocode: first audio is ready after ~one window
+        # instead of after the full utterance (exact vs the full pass;
+        # ctts_tpu/vocoder/streaming.py). The CLI writes files, so here the
+        # win is reported as time-to-first-audio; a serving frontend would
+        # flush each chunk to the client instead of collecting.
+        import time
+        hop = preprocess_config["preprocessing"]["stft"]["hop_length"]
+        t0 = time.perf_counter()
+        chunks = []
+        for c in vocoder_stream(mels, vocoder, preprocess_config,
+                                chunk=stream_chunk):
+            if not chunks:
+                print(f"time-to-first-audio: "
+                      f"{(time.perf_counter() - t0) * 1e3:.0f} ms "
+                      f"({stream_chunk * hop} samples/chunk)")
+            chunks.append(c)
+        full = np.concatenate(chunks, axis=1)
+        wavs = [full[i, :int(n) * hop] for i, n in enumerate(mel_lens)]
+    else:
+        wavs = vocoder_infer(mels, vocoder, preprocess_config,
+                             lengths=mel_lens)
 
     os.makedirs(result_dir, exist_ok=True)
     sr = preprocess_config["preprocessing"]["audio"]["sampling_rate"]
@@ -179,6 +201,10 @@ def main():
     parser.add_argument("--pitch_control", type=float, default=1.0)
     parser.add_argument("--energy_control", type=float, default=1.0)
     parser.add_argument("--duration_control", type=float, default=1.0)
+    parser.add_argument("--stream_chunk", type=int, default=0,
+                        help="vocode in streaming chunks of N mel frames "
+                             "(0 = full-utterance vocode); exact output, "
+                             "reports time-to-first-audio")
     args = parser.parse_args()
 
     if args.mode == "batch":
@@ -228,13 +254,13 @@ def main():
             "spker_embeds": spker_embed,
         }
         synthesize(model, variables, batch, configs, vocoder, controls,
-                   result_dir)
+                   result_dir, stream_chunk=args.stream_chunk)
     else:
         from ctts_tpu.data.dataset import TextDataset
         dataset = TextDataset(args.source, preprocess_config, model_config)
         for batch in dataset.batches(batch_size=8):
             synthesize(model, variables, batch, configs, vocoder, controls,
-                       result_dir)
+                       result_dir, stream_chunk=args.stream_chunk)
 
 
 if __name__ == "__main__":

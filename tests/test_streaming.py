@@ -65,6 +65,44 @@ def test_chunked_vocoder_is_exact():
         assert edge.max() < 2e-6
 
 
+def test_melgan_receptive_field():
+    from ctts_tpu.vocoder.melgan import MelGANGenerator
+    from ctts_tpu.vocoder.streaming import RF_MEL_MELGAN
+    gen = MelGANGenerator()
+    var = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 80), jnp.float32))
+    rng = np.random.RandomState(0)
+    T = 96
+    mel = jnp.asarray(rng.randn(1, T, 80).astype(np.float32))
+    base = np.asarray(gen.apply(var, mel))
+    t0 = T // 2
+    diff = np.abs(np.asarray(gen.apply(var, mel.at[:, t0, :].add(1.0)))
+                  - base)[0]
+    changed = np.nonzero(diff > 1e-7)[0]
+    rf = max(t0 - changed.min() // 256, changed.max() // 256 - t0)
+    assert rf <= RF_MEL_MELGAN, f"measured RF {rf} > {RF_MEL_MELGAN}"
+
+
+def test_vocoder_stream_matches_vocoder_infer():
+    """The serving helper (utils/model.py vocoder_stream) reproduces
+    vocoder_infer's int16 output through padding, scaling and trimming."""
+    from ctts_tpu.utils.model import vocoder_infer, vocoder_stream
+    gen, var = _small_gen()
+    tup = ("HiFi-GAN", gen, var)
+    pre = {"preprocessing": {"audio": {"max_wav_value": 32768.0},
+                             "stft": {"hop_length": 256}}}
+    rng = np.random.RandomState(3)
+    mels = rng.randn(2, 72, 80).astype(np.float32) * 2 - 5   # 72 % 32 != 0
+    lens = np.array([70, 41])
+    want = vocoder_infer(mels, tup, pre, lengths=lens)
+    got = np.concatenate(
+        list(vocoder_stream(mels, tup, pre, chunk=32)), axis=1)
+    for i, n in enumerate(lens):
+        w, g = want[i], got[i, :n * 256]
+        assert g.shape == w.shape
+        # int16 quantization makes float-reassociation noise at most 1 LSB
+        assert np.abs(g.astype(np.int32) - w.astype(np.int32)).max() <= 1
+
+
 def test_chunked_vocoder_short_utterance_fallback():
     gen, var = _small_gen()
     rng = np.random.RandomState(2)

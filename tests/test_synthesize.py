@@ -49,3 +49,24 @@ def test_synthesize_writes_outputs(tmp_path):
     from scipy.io import wavfile
     sr, wav = wavfile.read(os.path.join(result_dir, "smoke.wav"))
     assert sr == 22050 and wav.dtype == np.int16 and len(wav) > 0
+
+    # --stream_chunk path: chunked vocoding through a real generator must
+    # write the same-length wav as the full-pass vocode of the same mel
+    import jax.numpy as jnp
+    from ctts_tpu.vocoder.hifigan import HiFiGANGenerator, V1_CONFIG
+    gen = HiFiGANGenerator(dict(V1_CONFIG, upsample_initial_channel=32))
+    gvar = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 80),
+                                                     jnp.float32))
+    stream_dir = str(tmp_path / "stream")
+    syn.synthesize(model, variables, batch, (pre, mod, tr),
+                   ("HiFi-GAN", gen, gvar), (1.0, 1.0, 1.0), stream_dir,
+                   max_mel_len=64, stream_chunk=16)
+    sr2, wav2 = wavfile.read(os.path.join(stream_dir, "smoke.wav"))
+    assert sr2 == 22050 and wav2.dtype == np.int16
+    full_dir = str(tmp_path / "full")
+    syn.synthesize(model, variables, batch, (pre, mod, tr),
+                   ("HiFi-GAN", gen, gvar), (1.0, 1.0, 1.0), full_dir,
+                   max_mel_len=64, stream_chunk=0)
+    _, wav3 = wavfile.read(os.path.join(full_dir, "smoke.wav"))
+    assert wav2.shape == wav3.shape
+    assert np.abs(wav2.astype(np.int32) - wav3.astype(np.int32)).max() <= 1

@@ -103,6 +103,28 @@ def test_vocoder_stream_matches_vocoder_infer():
         assert np.abs(g.astype(np.int32) - w.astype(np.int32)).max() <= 1
 
 
+def test_vocoder_stream_melgan_matches_infer():
+    """MelGAN streaming must apply the same /log(10) mel scaling as
+    vocoder_infer and use its own (smaller) receptive-field halo."""
+    from ctts_tpu.vocoder.melgan import MelGANGenerator
+    from ctts_tpu.utils.model import vocoder_infer, vocoder_stream
+    gen = MelGANGenerator()
+    var = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 80),
+                                                    jnp.float32))
+    tup = ("MelGAN", gen, var)
+    pre = {"preprocessing": {"audio": {"max_wav_value": 32768.0},
+                             "stft": {"hop_length": 256}}}
+    rng = np.random.RandomState(4)
+    mels = rng.randn(1, 80, 80).astype(np.float32) * 2 - 5
+    lens = np.array([77])
+    want = vocoder_infer(mels, tup, pre, lengths=lens)
+    got = np.concatenate(list(vocoder_stream(mels, tup, pre, chunk=32)),
+                         axis=1)
+    d = np.abs(got[0, :77 * 256].astype(np.int32)
+               - want[0].astype(np.int32))
+    assert d.max() <= 1
+
+
 def test_chunked_vocoder_short_utterance_fallback():
     gen, var = _small_gen()
     rng = np.random.RandomState(2)

@@ -1,0 +1,240 @@
+"""Minimal production-style TTS HTTP server on one chip.
+
+The reference has no serving story (synthesize.py writes files); this is
+the TPU-native serving surface the rest of the framework was shaped for:
+
+- **Static-shape buckets**: each request synthesizes at the smallest mel
+  bucket that fits its predicted duration, so every shape is compiled once
+  (warmed up at startup) and reused for the life of the server.
+- **Streaming responses** (`"stream": true`): the exact chunked vocoder
+  (ctts_tpu/vocoder/streaming.py) emits PCM as it leaves the device via
+  HTTP chunked transfer encoding, so the client hears audio after ~one
+  window instead of after the full utterance.
+- **Single-writer device access**: JAX dispatch is serialized by a lock;
+  the HTTP layer is threaded so health checks and request parsing never
+  wait on the device.
+
+Endpoints:
+  GET  /healthz          -> {"ok": true, ...}
+  POST /tts              -> audio/wav
+       body: {"text": "...", "pitch_control": 1.0, "energy_control": 1.0,
+              "duration_control": 1.0, "stream": false}
+
+Usage: python serve.py --dataset LJSpeech --restore_step 900000 \
+           [--port 8000] [--vocoder_ckpt ckpt]
+Without checkpoints it serves a random-init model through griffin-lim —
+useful only for smoke tests (tests/test_serve.py drives the real handler
+stack end-to-end over a socket).
+"""
+
+import argparse
+import io
+import json
+import struct
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _wav_header_unknown_len(sr, max_riff=0xFFFFFFFF):
+    """WAV header with unknown data size (the streaming convention:
+    players treat 0xFFFFFFFF as 'read until EOF')."""
+    return (b"RIFF" + struct.pack("<I", max_riff) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", max_riff))
+
+
+class TTSService:
+    """Model + vocoder behind one lock; owns shape-bucket compilation."""
+
+    def __init__(self, model, variables, configs, vocoder, bucket=128,
+                 stream_chunk=64):
+        import jax.numpy as jnp                        # noqa: F401
+        self.model, self.variables = model, variables
+        self.pre, self.mod, self.tr = configs
+        self.vocoder = vocoder
+        self.bucket = bucket
+        self.stream_chunk = stream_chunk
+        self.sr = self.pre["preprocessing"]["audio"]["sampling_rate"]
+        self.hop = self.pre["preprocessing"]["stft"]["hop_length"]
+        self.lock = threading.Lock()
+        self.n_requests = 0
+
+    def _infer(self, seq, controls, mel_budget):
+        import jax.numpy as jnp
+        p, e, d = controls
+        return self.model.apply(
+            self.variables,
+            speakers=jnp.zeros(1, jnp.int32),
+            texts=jnp.asarray(np.asarray(seq, np.int32)[None]),
+            src_lens=jnp.asarray(np.array([len(seq)], np.int32)),
+            mode="infer", max_mel_len=mel_budget,
+            p_control=p, e_control=e, d_control=d, deterministic=True)
+
+    def warmup(self, buckets=(128, 256)):
+        """Compile the probe bucket + common serving buckets up front so
+        the first request doesn't pay compile latency."""
+        seq = [1] * 8
+        with self.lock:
+            for t_m in sorted(set((self.bucket,) + tuple(buckets))):
+                out = self._infer(seq, (1.0, 1.0, 1.0), t_m)
+                np.asarray(out["mel_lens"])
+
+    def synthesize(self, text, controls=(1.0, 1.0, 1.0), stream=False):
+        """-> (sr, iterator of int16 PCM numpy chunks). Holds the device
+        lock for the duration (single-chip, single-stream serving)."""
+        from synthesize import preprocess_english
+        from ctts_tpu.utils.model import vocoder_infer, vocoder_stream
+        seq = preprocess_english(text, self.pre)
+        with self.lock:
+            self.n_requests += 1
+            probe = self._infer(seq, controls, self.bucket)
+            total = int(np.asarray(probe["duration_rounded"]).sum())
+            cap = 2 * self.mod["max_seq_len"]
+            t_m = min(cap, -(-max(total, 1) // self.bucket) * self.bucket)
+            out = (probe if t_m == self.bucket
+                   else self._infer(seq, controls, t_m))
+            mel = np.asarray(out["postnet_mel_predictions"])
+            n = int(np.asarray(out["mel_lens"])[0])
+            if stream and self.vocoder[0] != "griffin_lim":
+                from ctts_tpu.vocoder.streaming import (RF_MEL,
+                                                        RF_MEL_MELGAN)
+                halo = (RF_MEL if self.vocoder[0] == "HiFi-GAN"
+                        else RF_MEL_MELGAN)
+                # truncate the padded mel to the first chunk multiple at
+                # least `halo` frames past the true length: every kept
+                # sample (< n*hop) then sees exactly the mel context the
+                # full pass sees (its receptive field ends before the
+                # truncation edge), while padding frames beyond it are
+                # never vocoded — a throughput win over the full pass
+                keep = min(mel.shape[1],
+                           -(-(n + halo) // self.stream_chunk)
+                           * self.stream_chunk)
+
+                def chunks():
+                    sent = 0
+                    with self.lock:
+                        for c in vocoder_stream(mel[:, :keep], self.vocoder,
+                                                self.pre,
+                                                chunk=self.stream_chunk):
+                            take = min(c.shape[1], n * self.hop - sent)
+                            if take > 0:
+                                yield np.asarray(c[0, :take])
+                            sent += c.shape[1]
+                            if sent >= n * self.hop:
+                                break
+                return self.sr, chunks()
+            wav = vocoder_infer(mel, self.vocoder, self.pre,
+                                lengths=[n])[0]
+        return self.sr, iter([wav])
+
+
+def make_handler(service):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):          # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                self.send_error(404)
+                return
+            body = json.dumps({"ok": True,
+                               "requests": service.n_requests}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self.send_error(404)
+                return
+            try:
+                req = json.loads(self.rfile.read(
+                    int(self.headers.get("Content-Length", 0)) or 0))
+                text = req["text"]
+            except Exception as exc:                 # noqa: BLE001
+                self.send_error(400, f"bad request: {exc}")
+                return
+            controls = (float(req.get("pitch_control", 1.0)),
+                        float(req.get("energy_control", 1.0)),
+                        float(req.get("duration_control", 1.0)))
+            stream = bool(req.get("stream", False))
+            try:
+                sr, chunks = service.synthesize(text, controls, stream)
+            except Exception as exc:                 # noqa: BLE001
+                self.send_error(500, f"synthesis failed: {exc}")
+                return
+            if stream:
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def send(chunk_bytes):
+                    self.wfile.write(
+                        f"{len(chunk_bytes):x}\r\n".encode()
+                        + chunk_bytes + b"\r\n")
+
+                send(_wav_header_unknown_len(sr))
+                for c in chunks:
+                    send(c.astype("<i2").tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+            else:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    for c in chunks:
+                        w.writeframes(np.asarray(c).astype("<i2").tobytes())
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    return Handler
+
+
+def make_server(service, host="127.0.0.1", port=0):
+    """-> ThreadingHTTPServer bound to (host, port); port 0 = ephemeral."""
+    return ThreadingHTTPServer((host, port), make_handler(service))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--restore_step", type=int, default=0)
+    ap.add_argument("--config_dir", default=None)
+    ap.add_argument("--vocoder_ckpt", default="ckpt")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--stream_chunk", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", ".cache/jax")
+    from ctts_tpu.config import get_configs_of
+    from ctts_tpu.utils.model import get_model, get_vocoder
+
+    configs = get_configs_of(args.dataset, args.config_dir)
+    model, variables = get_model(args.restore_step, configs, train=False)
+    vocoder = get_vocoder(configs[1], args.vocoder_ckpt)
+    if vocoder[0] == "griffin_lim":
+        print("NOTE: no vocoder weights; serving griffin-lim fallback")
+    service = TTSService(model, variables, configs, vocoder,
+                         stream_chunk=args.stream_chunk)
+    print("warming up compile cache ...")
+    service.warmup()
+    srv = make_server(service, args.host, args.port)
+    print(f"serving on http://{args.host}:{srv.server_address[1]}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

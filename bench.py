@@ -187,6 +187,26 @@ def main():
     # budget, then synthesize each length bucket at its own right-sized
     # static mel bucket (jits are shared between buckets with equal T_m)
     probe = make_acoustic(BUCKET)
+
+    # sanity-gate the DEFAULT checkpoint (explicit BENCH_CKPT is always
+    # honored): a checkpoint whose duration head never trained (e.g. saved
+    # before var_start_steps) predicts near-zero frames per token, which
+    # would bench a degenerate workload; real speech runs ~4-8 frames/token
+    # (random init reads ~2.3 on real transcripts, the broken-gate ckpt
+    # 0.3 — the 1.0 threshold separates those regimes with margin)
+    if weights.startswith("trained") and "BENCH_CKPT" not in os.environ:
+        _, _, durs = probe(am_vars["params"], *buckets[0], speakers)
+        per_tok = float(jnp.sum(durs)) / max(1, int(buckets[0][1].sum()))
+        if per_tok < 1.0:
+            print(f"# default ckpt predicts {per_tok:.2f} frames/token "
+                  "(duration head untrained?); falling back to random "
+                  "init", file=sys.stderr)
+            am_vars = model.init(
+                {"params": jax.random.PRNGKey(0)}, speakers=speakers,
+                texts=texts, src_lens=src_lens, mode="infer",
+                max_mel_len=BUCKET, deterministic=True)
+            weights = "random_init"
+
     acoustics = {}
     plans = []                                # (texts, src_lens, acoustic)
     for btexts, blens in buckets:

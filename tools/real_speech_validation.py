@@ -259,8 +259,13 @@ def cmd_train(report, steps=400):
     mod = prepare_model_config(pre, mod)
     tr["optimizer"]["batch_size"] = 4
     # the micro-corpus is 4 train utterances: binarize + use hard durations
-    # from the start so the duration/variance losses see MAS output
+    # from the start so the duration/variance losses see MAS output, and
+    # open the variance gate so the duration/pitch/energy predictors train
+    # (with the reference's 50k-step gate a 400-step run would leave the
+    # duration head at random init — bench.py's trained-ckpt mode needs it
+    # to predict real per-token durations)
     tr["step"]["binarization_start_steps"] = 0
+    tr["step"]["var_start_steps"] = 0
 
     ds = Dataset("train_unsup.txt", pre, mod, tr, sort=True, drop_last=False)
     batches = [{k: v for k, v in b.items() if k not in ("ids", "raw_texts")}

@@ -56,7 +56,13 @@ class _ConvTranspose(nn.Module):
     where q' = (n + u/2) // u and s = (n + u/2) mod u — exactly two input
     taps per output, independent of n. The kernel-2 conv is one
     [2·C_in → u·C_out] matmul per input frame: pure MXU work.
-    `CTTS_SUBPIX=0` falls back to lax.conv_transpose for A/B testing.
+
+    MEASURED on real TPU (tools/bench_vocoder.py, full V1 generator,
+    bf16): subpixel is 0.95x at B=128/T=896, 0.87x at B=32/T=896, and
+    only 1.04x at the B=1 streaming chunk — XLA's conv_transpose
+    lowering wins at serving shapes, so the default is the transposed
+    conv and `CTTS_SUBPIX=1` opts in to the subpixel path (bit-parity
+    tested in tests/test_hifigan.py either way).
     """
     features: int
     kernel_size: int
@@ -74,7 +80,7 @@ class _ConvTranspose(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (co,))
         pad = (k - u) // 2
         subpix = (k == 2 * u and u % 2 == 0
-                  and os.environ.get("CTTS_SUBPIX", "1") == "1")
+                  and os.environ.get("CTTS_SUBPIX", "0") == "1")
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
         if not subpix:

@@ -76,7 +76,7 @@ class _UpsampleConvT(nn.Module):
         # identical subpixel reassociation as hifigan._ConvTranspose (one
         # kernel-2 dense conv to r·C_out channels + depth-to-space + r/2
         # phase shift) — exact same math, MXU-shaped
-        if r % 2 == 0 and os.environ.get("CTTS_SUBPIX", "1") == "1":
+        if r % 2 == 0 and os.environ.get("CTTS_SUBPIX", "0") == "1":
             B, T = x.shape[0], x.shape[1]
             k_new = jnp.stack([
                 kd[r:2 * r].transpose(2, 0, 1).reshape(ci, r * co),

@@ -2,9 +2,15 @@
 
 Times the full HiFi-GAN V1 (and optionally MelGAN) generator at serving
 shapes on the real TPU with CTTS_SUBPIX=1 (kernel-2 dense conv +
-depth-to-space, the default) vs CTTS_SUBPIX=0 (lax.conv_transpose), same
+depth-to-space) vs CTTS_SUBPIX=0 (lax.conv_transpose, the default), same
 weights. The vocoder is ~85% of end-to-end serving time, so this isolates
 the ConvTranspose share cheaply instead of recompiling the whole bench.
+
+Measured 2026-08-18 on the real chip (full V1, bf16):
+  B=128 T=896: subpix 529.2 ms vs convT 504.9 ms  (0.954x)
+  B=16  T=896: subpix 148.6 ms vs convT 129.8 ms  (0.873x)
+  B=1   T=90 (stream chunk): subpix 3.92 ms vs convT 4.06 ms (1.036x)
+Hence the transposed conv is the default.
 
 Usage: python tools/bench_vocoder.py [B] [T_mel]   (defaults 128, 896)
 """

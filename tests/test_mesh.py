@@ -58,6 +58,52 @@ def test_tensor_parallel_matches_data_parallel(block_type):
     np.testing.assert_allclose(dp, tp, rtol=5e-4)
 
 
+def _infer_once(mesh_shape=None, block_type="transformer_fs2"):
+    from ctts_tpu.models.comp_trans_tts import CompTransTTS
+    from ctts_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    pre, mod, tr = tiny_configs(block_type=block_type)
+    model = CompTransTTS(pre, mod, tr)
+    batch = synth_batch(B=8, T_s=12, T_m=32)
+    kwargs = dict(speakers=batch["speakers"], texts=batch["texts"],
+                  src_lens=batch["src_lens"], mode="infer", max_mel_len=32,
+                  deterministic=True)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, **kwargs)
+
+    def run(v, speakers, texts, src_lens):
+        return model.apply(v, speakers=speakers, texts=texts,
+                           src_lens=src_lens, mode="infer", max_mel_len=32,
+                           deterministic=True)
+
+    if mesh_shape is None:
+        out = jax.jit(run)(variables, batch["speakers"], batch["texts"],
+                           batch["src_lens"])
+    else:
+        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
+        with mesh:
+            v = shard_params(variables, mesh)
+            db = shard_batch({k: batch[k]
+                              for k in ("speakers", "texts", "src_lens")},
+                             mesh)
+            out = jax.jit(run)(v, db["speakers"], db["texts"],
+                               db["src_lens"])
+    return (np.asarray(out["postnet_mel_predictions"]),
+            np.asarray(out["mel_lens"]))
+
+
+def test_sharded_inference_matches_single_device():
+    """Batch inference sharded over the mesh (the serving scale-out path:
+    shard_params + shard_batch + plain jit, XLA inserts the collectives)
+    returns the single-device outputs for both dp8 and dp4xtp2."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mel0, lens0 = _infer_once(None)
+    for shape in ((8, 1), (4, 2)):
+        mel, lens = _infer_once(shape)
+        np.testing.assert_array_equal(lens, lens0)
+        np.testing.assert_allclose(mel, mel0, atol=5e-4)
+
+
 def test_tp_coverage_guard_rejects_unruled_params():
     """model>1 with zero TP-rule hits must fail fast, not silently
     replicate."""

@@ -207,6 +207,22 @@ def main():
                 max_mel_len=BUCKET, deterministic=True)
             weights = "random_init"
 
+    # two-pass serving policy: the probe predicts every row's total
+    # duration, rows are re-bucketed by PREDICTED MEL length (text length
+    # correlates only loosely with it), and each bucket synthesizes at its
+    # own right-sized static mel shape — tighter than text-length buckets
+    if len(buckets) > 1:
+        row_frames = []
+        for btexts, blens in buckets:
+            _, _, durs = probe(am_vars["params"], btexts, blens, speakers)
+            row_frames.append(np.asarray(jnp.sum(durs, axis=1)))
+        order = np.argsort(np.concatenate(row_frames), kind="stable")
+        all_texts = np.concatenate([np.asarray(t) for t, _ in buckets])
+        all_lens = np.concatenate([np.asarray(l) for _, l in buckets])
+        buckets = [(jnp.asarray(all_texts[order[g * B:(g + 1) * B]]),
+                    jnp.asarray(all_lens[order[g * B:(g + 1) * B]]))
+                   for g in range(n_buckets)]
+
     acoustics = {}
     plans = []                                # (texts, src_lens, acoustic)
     for btexts, blens in buckets:
@@ -222,12 +238,16 @@ def main():
         wav = vocoder.apply(voc_params, mel)
         return wav, wav[:, ::4096].sum()      # cheap probe to force compute
 
-    # warmup / compile each bucket shape
-    for btexts, blens, acoustic, _ in plans:
+    # warmup / compile each bucket shape (+ measure padding utilization:
+    # real mel frames vs padded bucket frames actually computed)
+    real_frames, padded_frames = 0.0, 0.0
+    for btexts, blens, acoustic, t_m in plans:
         mel, mel_lens, _ = acoustic(am_vars["params"], btexts, blens,
                                     speakers)
         wav, pr = vocode(voc_vars, mel)
-        _ = float(pr) + float(mel_lens.sum())
+        _ = float(pr)
+        real_frames += float(mel_lens.sum())
+        padded_frames += B * t_m
 
     # XLA cost-model FLOPs for an MFU figure (bf16 peak)
     flops = None
@@ -286,6 +306,7 @@ def main():
             "length_buckets": len(plans),
             "bucket_mel_lens": sorted({p[3] for p in plans}),
             "mel_frames_per_sec": round(frames_per_batch / dt_batch),
+            "bucket_util_pct": round(100 * real_frames / padded_frames, 1),
             "wall_s_per_batch": round(dt_batch, 4),
             "audio_s_per_batch": round(audio_s_per_batch, 2),
             "mfu_pct": round(100 * mfu, 2) if mfu else None,

@@ -109,6 +109,22 @@ def get_vocoder(model_config, ckpt_dir="ckpt"):
     raise ValueError(f"unknown vocoder {name}")
 
 
+# one jitted apply per live vocoder module: eager model.apply dispatches
+# the generator op-by-op (measured ~100x slower through the TPU tunnel);
+# the strong reference in the value keeps the id() key valid
+_VOCODER_JIT = {}
+
+
+def _jit_vocoder_apply(model):
+    import jax
+    key = id(model)
+    hit = _VOCODER_JIT.get(key)
+    if hit is None or hit[0] is not model:
+        hit = (model, jax.jit(model.apply))
+        _VOCODER_JIT[key] = hit
+    return hit[1]
+
+
 def vocoder_infer(mels, vocoder_tuple, preprocess_config, lengths=None):
     """mels [B, T, n_mel] (log) → list of int16 wavs
     (reference utils/model.py:74-92)."""
@@ -116,10 +132,11 @@ def vocoder_infer(mels, vocoder_tuple, preprocess_config, lengths=None):
     max_wav_value = preprocess_config["preprocessing"]["audio"]["max_wav_value"]
     hop = preprocess_config["preprocessing"]["stft"]["hop_length"]
     if name == "HiFi-GAN":
-        wavs = np.asarray(model.apply(variables, jnp.asarray(mels)))
+        wavs = np.asarray(_jit_vocoder_apply(model)(variables,
+                                                    jnp.asarray(mels)))
     elif name == "MelGAN":
-        wavs = np.asarray(model.apply(variables,
-                                      jnp.asarray(mels) / np.log(10)))
+        wavs = np.asarray(_jit_vocoder_apply(model)(
+            variables, jnp.asarray(mels) / np.log(10)))
     else:  # griffin-lim from approximate mel inversion
         from ctts_tpu.audio.tools import inv_mel_spec_batch
         wavs = inv_mel_spec_batch(np.asarray(mels), preprocess_config)

@@ -14,6 +14,7 @@ import argparse
 import os
 import re
 import sys
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -125,16 +126,22 @@ def synthesize(model, variables, batch, configs, vocoder, controls,
     preprocess_config, model_config, train_config = configs
     p, e, d = controls
 
-    def run(mel_budget):
+    # jit (not eager apply): each mel_budget compiles once; eager dispatch
+    # runs the graph op-by-op, ~100x slower through the TPU tunnel
+    @partial(jax.jit, static_argnames=("mel_budget",))
+    def _run(variables, speakers, texts, src_lens, spker_embeds, mel_budget):
         return model.apply(
-            variables,
-            speakers=jnp.asarray(batch["speakers"]),
-            texts=jnp.asarray(batch["texts"]),
-            src_lens=jnp.asarray(batch["src_lens"]),
-            mode="infer", max_mel_len=mel_budget,
-            spker_embeds=(jnp.asarray(batch["spker_embeds"])
-                          if batch.get("spker_embeds") is not None else None),
+            variables, speakers=speakers, texts=texts, src_lens=src_lens,
+            mode="infer", max_mel_len=mel_budget, spker_embeds=spker_embeds,
             p_control=p, e_control=e, d_control=d, deterministic=True)
+
+    def run(mel_budget):
+        return _run(
+            variables, jnp.asarray(batch["speakers"]),
+            jnp.asarray(batch["texts"]), jnp.asarray(batch["src_lens"]),
+            (jnp.asarray(batch["spker_embeds"])
+             if batch.get("spker_embeds") is not None else None),
+            mel_budget=mel_budget)
 
     if max_mel_len is None:
         # probe predicted durations with a tiny budget, then synthesize with

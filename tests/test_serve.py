@@ -91,6 +91,40 @@ def test_tts_streaming_matches_full(server_url):
     assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
 
 
+def test_dynamic_batching_coalesces(server_url):
+    """Concurrent identical requests are coalesced by the micro-batching
+    worker into fewer device batches, and every response carries the same
+    audio (rows of a padded batch are independent; across differently
+    shaped compiles only float reassociation noise is allowed)."""
+    def batches():
+        with urllib.request.urlopen(server_url + "/healthz",
+                                    timeout=60) as r:
+            return json.loads(r.read())["batches"]
+
+    before = batches()
+    results = [None] * 6
+    def post(i):
+        results[i] = _post(server_url, {"text": "Dynamic batching test."})
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    pcms = []
+    for status, headers, body in results:
+        assert status == 200
+        with wave.open(io.BytesIO(body)) as w:
+            pcms.append(np.frombuffer(w.readframes(w.getnframes()), "<i2"))
+    assert all(p.shape == pcms[0].shape for p in pcms)
+    for p in pcms[1:]:
+        assert np.abs(p.astype(np.int32)
+                      - pcms[0].astype(np.int32)).max() <= 1
+    # 6 concurrent requests must not have run as 6 solo batches: the first
+    # may run alone (its collection window can expire before the rest
+    # arrive), but everything queued behind it coalesces
+    assert batches() - before <= 4
+
+
 def test_tts_bad_request(server_url):
     req = urllib.request.Request(
         server_url + "/tts", data=b"{}",

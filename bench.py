@@ -9,10 +9,17 @@ Text distribution: by default a deterministic sample of the reference's
 shipped REAL LJSpeech transcripts (ARPAbet phone strings,
 /root/reference/preprocessed_data/LJSpeech/train_unsup.txt) through the
 production symbol table, so token and length statistics match real
-traffic. `BENCH_TEXT=synthetic` reverts to uniform tokens at max length
-(the round-1/2 configuration — reads ~5% lower because every row runs at
-the padded maximum), `BENCH_TEXT=sentences` uses 8 hardcoded sentences
-through the full G2P path.
+traffic. `BENCH_TEXT=synthetic` reverts to uniform tokens at max length,
+`BENCH_TEXT=sentences` uses 8 hardcoded sentences through the full G2P
+path.
+
+Measured 2026-08-18 (v5 lite, trained ckpt, real text): 1638x real time,
+std 4.8 over 5 repeats, 68.5% MFU, wall 0.284 s/batch == device time.
+Three host-side taxes were identified and removed en route, each worth
+4-10x on this remote-runtime setup: per-batch float() syncs (serialize
+dispatch), host-numpy restored params (re-transferred EVERY call; fixed
+with one device_put), and — for hygiene only — interleaving bucket
+executables (measured near-free once params were device-resident).
 
 Variance: the timed section repeats BENCH_REPEATS (default 5) times of
 BENCH_ITERS (default 10) pipeline iterations each; the headline value is
@@ -84,9 +91,9 @@ def main():
                                                 prepare_model_config)
     from ctts_tpu.vocoder.hifigan import HiFiGANGenerator, V1_CONFIG
 
-    # default serving batch: 128 utterances (throughput scales with batch —
-    # 16→300×, 32→408×, 64→628×, 128→923×, 256→1000× real time; BENCH_B
-    # overrides)
+    # default serving batch: 128 utterances per length bucket (throughput
+    # scales with batch; the historical sweep numbers predate the async
+    # loop and understate it — re-sweep with BENCH_B to refresh)
     B = int(os.environ.get("BENCH_B", 128))
     T_s = 128
     HOP, SR = 256, 22050
@@ -160,10 +167,14 @@ def main():
         restored, step = restore_checkpoint_raw(os.path.abspath(ckpt))
         if not step:
             raise SystemExit(f"BENCH_CKPT: no checkpoint under {ckpt}")
+        # device_put ONCE: restore_checkpoint_raw returns HOST numpy, and
+        # feeding host arrays to jitted calls re-transfers the full param
+        # tree every call (~140 MB/call through the remote TPU runtime —
+        # measured 146x vs 1100x real time on this exact bench)
         am_vars = dict(am_vars)
-        am_vars["params"] = restored["params"]
+        am_vars["params"] = jax.device_put(restored["params"])
         if restored.get("batch_stats"):
-            am_vars["batch_stats"] = restored["batch_stats"]
+            am_vars["batch_stats"] = jax.device_put(restored["batch_stats"])
         print(f"# loaded checkpoint step {step} from {ckpt}",
               file=sys.stderr)
         weights = f"trained_step{step}"
@@ -275,21 +286,36 @@ def main():
 
     iters = int(os.environ.get("BENCH_ITERS", 10))
     repeats = int(os.environ.get("BENCH_REPEATS", 5))
-    rtxs, frames_per_batch = [], 0.0
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     n_batches = iters * len(plans)
+    # the timed loop enqueues the whole repeat asynchronously and blocks
+    # ONCE at the end: per-iteration float() syncs would serialize every
+    # batch behind a host round-trip (measured 5.7 s wall vs 0.29 s device
+    # per batch through the remote TPU runtime). Texts are fixed per plan,
+    # so the frame count is the warmup's real_frames — no sync needed.
+    rtxs = []
+    frames_per_batch = real_frames / len(plans)
+    # plan-major order (all iters of one bucket before the next) keeps
+    # executable switches to len(plans) per repeat; measured switch cost
+    # is near-zero on this runtime, so this is belt-and-braces, not the
+    # lever — the levers are the async loop and device-resident params
     for _ in range(repeats):
         t0 = time.perf_counter()
-        total_frames = 0.0
-        for _ in range(iters):
-            for btexts, blens, acoustic, _ in plans:
+        probes = []
+        for btexts, blens, acoustic, _ in plans:
+            for _ in range(iters):
                 mel, mel_lens, _ = acoustic(am_vars["params"], btexts,
                                             blens, speakers)
                 wav, pr = vocode(voc_vars, mel)
-                total_frames += float(mel_lens.sum())
-                _ = float(pr)                 # forces full pipeline each iter
+                probes.append(pr)             # keeps every pipeline live
+        jax.block_until_ready(probes)
         dt = time.perf_counter() - t0
-        frames_per_batch = total_frames / n_batches
+        total_frames = real_frames * iters
         rtxs.append(total_frames * HOP / SR / dt)
+    if profile_dir:
+        jax.profiler.stop_trace()
     rtxs = np.asarray(rtxs)
     rtx = float(np.median(rtxs))
     audio_s_per_batch = frames_per_batch * HOP / SR

@@ -64,10 +64,13 @@ def _boot(max_batch, ckpt):
         from ctts_tpu.utils.checkpoint import restore_checkpoint_raw
         restored, step = restore_checkpoint_raw(os.path.abspath(ckpt))
         if step:
+            # device_put once — raw restore returns host numpy; serving
+            # with host params would re-transfer the tree on every request
             variables = dict(variables)
-            variables["params"] = restored["params"]
+            variables["params"] = jax.device_put(restored["params"])
             if restored.get("batch_stats"):
-                variables["batch_stats"] = restored["batch_stats"]
+                variables["batch_stats"] = jax.device_put(
+                    restored["batch_stats"])
             weights = f"trained_step{step}"
     gen = HiFiGANGenerator(dict(V1_CONFIG), dtype=jnp.bfloat16)
     gvar = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 80),

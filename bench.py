@@ -156,15 +156,24 @@ def main():
     # statistics; BENCH_CKPT= (empty) disables, BENCH_CKPT=path overrides
     weights = "random_init"
     _default_ckpt = os.path.join(_REPO, "output/real_speech/LJdemo/ckpt")
+    # fallback when the (gitignored) orbax dir is absent: the committed
+    # bf16 npz packed from the same checkpoint by tools/pack_ckpt.py —
+    # containers reset between sessions, assets/ survives in git
+    _packed_ckpt = os.path.join(_REPO, "assets/ljdemo_ckpt.npz")
     ckpt = os.environ.get(
         "BENCH_CKPT",
-        _default_ckpt if os.path.isdir(_default_ckpt) else "")
+        _default_ckpt if os.path.isdir(_default_ckpt)
+        else _packed_ckpt if os.path.isfile(_packed_ckpt) else "")
     if ckpt:
         # drive trained weights (e.g. output/real_speech/LJdemo/ckpt from
         # tools/real_speech_validation.py) so predicted durations carry a
         # learned distribution rather than a random-init net's
-        from ctts_tpu.utils.checkpoint import restore_checkpoint_raw
-        restored, step = restore_checkpoint_raw(os.path.abspath(ckpt))
+        from ctts_tpu.utils.checkpoint import (load_params_npz,
+                                               restore_checkpoint_raw)
+        if ckpt.endswith(".npz"):
+            restored, step = load_params_npz(ckpt)
+        else:
+            restored, step = restore_checkpoint_raw(os.path.abspath(ckpt))
         if not step:
             raise SystemExit(f"BENCH_CKPT: no checkpoint under {ckpt}")
         # device_put ONCE: restore_checkpoint_raw returns HOST numpy, and

@@ -83,6 +83,73 @@ def restore_checkpoint_raw(ckpt_dir, step=None):
     return restored, step
 
 
+def pack_params_npz(tree, path, step):
+    """Pack a (nested-dict) variables tree into one compressed .npz.
+
+    Purpose: a git-committable weights artifact. Orbax checkpoints are
+    directories of sharded fp32 arrays (~140 MB for the flagship) that live
+    under the gitignored output/; this packs the same tree to roughly a
+    third of that by storing float leaves as bfloat16 (exactly the precision
+    the bf16 compute path reads anyway) inside a single npz. Float arrays
+    are stored as uint16 bit-views because numpy's .npy format cannot
+    serialize the ml_dtypes bfloat16 dtype; the manifest records the
+    original dtype so load restores fp32 leaves (values rounded to the
+    nearest bf16, i.e. what the MXU consumed at train time).
+    """
+    import json
+
+    import ml_dtypes
+
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                assert "/" not in str(k), f"param name contains '/': {k}"
+                walk(v, prefix + (str(k),))
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    walk(tree, ())
+    manifest, arrays = {"step": int(step), "leaves": {}}, {}
+    for i, (key, arr) in enumerate(sorted(flat.items())):
+        name = f"a{i}"
+        if arr.dtype in (np.float32, np.float64):
+            arrays[name] = arr.astype(ml_dtypes.bfloat16).view(np.uint16)
+            manifest["leaves"][key] = {"n": name, "dtype": "bfloat16"}
+        else:
+            arrays[name] = arr
+            manifest["leaves"][key] = {"n": name, "dtype": str(arr.dtype)}
+    arrays["__manifest__"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load_params_npz(path):
+    """Inverse of pack_params_npz → (nested-dict tree, step).
+
+    bfloat16-packed leaves come back as float32 (bf16-rounded values);
+    integer/bool leaves come back bit-exact.
+    """
+    import json
+
+    import ml_dtypes
+
+    with np.load(path) as z:
+        manifest = json.loads(bytes(z["__manifest__"]).decode())
+        tree = {}
+        for key, spec in manifest["leaves"].items():
+            arr = z[spec["n"]]
+            if spec["dtype"] == "bfloat16":
+                arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
+            node, parts = tree, key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = arr
+    return tree, manifest["step"]
+
+
 def latest_step(ckpt_dir):
     if not os.path.isdir(ckpt_dir):
         return None

@@ -7,9 +7,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def get_model(args_restore_step, configs, train=False):
+def get_model(args_restore_step, configs, train=False, packed_ckpt=None):
     """Build CompTransTTS (+optimizer when train=True) and restore weights.
-    Returns (model, state_or_variables)."""
+    Returns (model, state_or_variables).
+
+    packed_ckpt: path to a bf16 npz produced by tools/pack_ckpt.py (e.g. the
+    committed assets/ljdemo_ckpt.npz) — loads params/batch_stats without an
+    orbax directory, so a fresh clone can synthesize with trained weights."""
     from ctts_tpu.models.comp_trans_tts import (CompTransTTS,
                                                 prepare_model_config)
     from ctts_tpu.parallel.train_step import create_train_state
@@ -63,7 +67,7 @@ def get_model(args_restore_step, configs, train=False):
         kwargs["spker_embeds"] = jnp.zeros(
             (B, model_config["external_speaker_dim"]), jnp.float32)
     rngs = {"params": jax.random.PRNGKey(0), "lsh": jax.random.PRNGKey(1)}
-    if args_restore_step:
+    if args_restore_step or packed_ckpt:
         # restoring: only the tree structure/shapes are needed — eval_shape
         # skips compiling the training graph
         variables = jax.eval_shape(lambda: model.init(rngs, **kwargs))
@@ -75,7 +79,14 @@ def get_model(args_restore_step, configs, train=False):
     enc_h, _ = block_hidden(model_config)
     tx, _ = build_optimizer(model_config, train_config, d_model=enc_h)
     state = create_train_state(variables, tx)
-    if args_restore_step:
+    if packed_ckpt:
+        from ctts_tpu.utils.checkpoint import load_params_npz
+        tree, step = load_params_npz(packed_ckpt)
+        state = state.replace(
+            params=jax.device_put(tree["params"]),
+            batch_stats=jax.device_put(tree.get("batch_stats") or {}))
+        print(f"loaded packed weights (step {step}) from {packed_ckpt}")
+    elif args_restore_step:
         state, _ = restore_checkpoint(
             train_config["path"]["ckpt_path"], state, args_restore_step)
     if train:

@@ -363,6 +363,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--restore_step", type=int, default=0)
+    ap.add_argument("--packed_ckpt", default=None,
+                    help="bf16 npz weights from tools/pack_ckpt.py "
+                         "(e.g. assets/ljdemo_ckpt.npz)")
     ap.add_argument("--config_dir", default=None)
     ap.add_argument("--vocoder_ckpt", default="ckpt")
     ap.add_argument("--host", default="0.0.0.0")
@@ -380,7 +383,8 @@ def main():
     from ctts_tpu.utils.model import get_model, get_vocoder
 
     configs = get_configs_of(args.dataset, args.config_dir)
-    model, variables = get_model(args.restore_step, configs, train=False)
+    model, variables = get_model(args.restore_step, configs, train=False,
+                                 packed_ckpt=args.packed_ckpt)
     vocoder = get_vocoder(configs[1], args.vocoder_ckpt)
     if vocoder[0] == "griffin_lim":
         print("NOTE: no vocoder weights; serving griffin-lim fallback")

@@ -194,6 +194,10 @@ def synthesize(model, variables, batch, configs, vocoder, controls,
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--packed_ckpt", type=str, default=None,
+                        help="bf16 npz weights from tools/pack_ckpt.py "
+                             "(e.g. assets/ljdemo_ckpt.npz) — synthesize "
+                             "with trained weights, no orbax dir needed")
     parser.add_argument("--mode", type=str, choices=["batch", "single"],
                         required=True)
     parser.add_argument("--source", type=str, default=None,
@@ -222,7 +226,8 @@ def main():
     configs = get_configs_of(args.dataset, args.config_dir)
     preprocess_config, model_config, train_config = configs
 
-    model, variables = get_model(args.restore_step, configs, train=False)
+    model, variables = get_model(args.restore_step, configs, train=False,
+                                 packed_ckpt=args.packed_ckpt)
     vocoder = get_vocoder(model_config, args.vocoder_ckpt)
     if vocoder[0] == "griffin_lim":
         print("NOTE: no vocoder weights found; using griffin-lim fallback")

@@ -67,6 +67,41 @@ def test_pack_roundtrip(tmp_path):
             np.testing.assert_array_equal(g, w, err_msg=str(key))
 
 
+def test_get_model_loads_packed_ckpt(tmp_path):
+    """get_model(packed_ckpt=...) must hand back the packed values (to bf16
+    rounding), not a fresh init — the path synthesize.py/serve.py use."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+    from helpers import tiny_configs
+    from ctts_tpu.utils.model import get_model
+
+    configs = tiny_configs()
+    _, variables = get_model(0, configs, train=False)
+    # perturb so the packed tree is distinguishable from any fresh init
+    params = jax.tree.map(
+        lambda a: np.asarray(a) + 1.0 if np.asarray(a).dtype.kind == "f"
+        else np.asarray(a), jax.device_get(variables["params"]))
+    path = os.path.join(tmp_path, "w.npz")
+    pack_params_npz({"params": params,
+                     "batch_stats": variables.get("batch_stats") or {}},
+                    path, step=7)
+
+    _, loaded = get_model(0, configs, train=False, packed_ckpt=path)
+    want_leaves, want_def = jax.tree_util.tree_flatten(params)
+    got_leaves, got_def = jax.tree_util.tree_flatten(
+        jax.device_get(loaded["params"]))
+    assert want_def == got_def
+    for w, g in zip(want_leaves, got_leaves):
+        w = np.asarray(w)
+        if w.dtype.kind == "f":
+            expect = w.astype(ml_dtypes.bfloat16).astype(np.float32)
+            np.testing.assert_array_equal(np.asarray(g, np.float32), expect)
+        else:
+            np.testing.assert_array_equal(np.asarray(g), w)
+
+
 def test_pack_is_compact(tmp_path):
     tree = {"params": {"w": np.zeros((256, 256), np.float32)}}
     path = os.path.join(tmp_path, "packed.npz")

@@ -174,7 +174,9 @@ def main():
             restored, step = load_params_npz(ckpt)
         else:
             restored, step = restore_checkpoint_raw(os.path.abspath(ckpt))
-        if not step:
+        if restored is None:
+            # gate on the tree, not step falsiness: a step-0 checkpoint
+            # (e.g. an npz manifest recording step 0) is legitimate
             raise SystemExit(f"BENCH_CKPT: no checkpoint under {ckpt}")
         # device_put ONCE: restore_checkpoint_raw returns HOST numpy, and
         # feeding host arrays to jitted calls re-transfers the full param

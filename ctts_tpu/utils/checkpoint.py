@@ -114,7 +114,10 @@ def pack_params_npz(tree, path, step):
     manifest, arrays = {"step": int(step), "leaves": {}}, {}
     for i, (key, arr) in enumerate(sorted(flat.items())):
         name = f"a{i}"
-        if arr.dtype in (np.float32, np.float64):
+        if (arr.dtype in (np.float32, np.float64, np.float16)
+                or arr.dtype == ml_dtypes.bfloat16):
+            # bf16/f16 leaves also route here: np.savez cannot serialize
+            # the ml_dtypes bfloat16 dtype directly
             arrays[name] = arr.astype(ml_dtypes.bfloat16).view(np.uint16)
             manifest["leaves"][key] = {"n": name, "dtype": "bfloat16"}
         else:

@@ -81,6 +81,10 @@ def get_model(args_restore_step, configs, train=False, packed_ckpt=None):
     state = create_train_state(variables, tx)
     if packed_ckpt:
         from ctts_tpu.utils.checkpoint import load_params_npz
+        if args_restore_step:
+            raise ValueError(
+                "--restore_step and --packed_ckpt both given: they select "
+                "different weights (orbax dir vs packed npz) — pass one")
         tree, step = load_params_npz(packed_ckpt)
         state = state.replace(
             params=jax.device_put(tree["params"]),

@@ -28,7 +28,9 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         _REPO, "assets/ljdemo_ckpt.npz")
     tree, step = restore_checkpoint_raw(os.path.abspath(ckpt))
-    if not step:
+    if tree is None:
+        # (restore returns (None, 0) when empty; a step-0 checkpoint is
+        # legitimate, so gate on the tree, not step falsiness)
         raise SystemExit(f"no checkpoint under {ckpt}")
     pack_params_npz(tree, out, step)
     mb = os.path.getsize(out) / 1e6

@@ -123,6 +123,11 @@ def main():
         save_step = train_config["step"]["save_step"]
         rng = jax.random.PRNGKey(train_config["seed"])
 
+        # host-side step counter: state.step increments identically on
+        # device, so the loop never reads it back (int(state.step) every
+        # step was a blocking device->host sync that serialized dispatch —
+        # the same bug class as CLAUDE.md TIMING TRAP #3). One sync here
+        # covers the restore offset.
         step = int(state.step)
         epoch = 0
         t_last = time.time()
@@ -142,7 +147,7 @@ def main():
                     jax.profiler.start_trace(
                         os.path.join(log_path, "profile"))
                 state, metrics = train_step(state, batch, rng)
-                step = int(state.step)
+                step += 1
                 if profile_range and step == profile_range[1]:
                     jax.block_until_ready(metrics["total"])
                     jax.profiler.stop_trace()

@@ -102,6 +102,88 @@ def test_get_model_loads_packed_ckpt(tmp_path):
             np.testing.assert_array_equal(np.asarray(g), w)
 
 
+def test_committed_ckpt_matches_manifest():
+    """The committed assets/ljdemo_ckpt.npz must reproduce the behavioral
+    manifest written by tools/real_speech_validation.py at pack time
+    (probe texts -> predicted mel lengths + mel means). A stale or wrongly
+    repacked npz shifts the duration distribution and fails here, instead
+    of silently changing bench.py's headline workload."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    npz = os.path.join(repo, "assets", "ljdemo_ckpt.npz")
+    man_path = os.path.join(repo, "assets", "ljdemo_ckpt_manifest.json")
+    if not (os.path.isfile(npz) and os.path.isfile(man_path)):
+        pytest.skip("no committed packed ckpt + manifest")
+    with open(man_path) as f:
+        man = json.load(f)
+
+    from ctts_tpu.config import get_configs_of
+    from ctts_tpu.models.comp_trans_tts import (CompTransTTS,
+                                                prepare_model_config)
+    pre, mod, tr = get_configs_of("LJSpeech")
+    mod = prepare_model_config(pre, mod)
+    model = CompTransTTS(pre, mod, tr)
+    packed, step = load_params_npz(npz)
+    assert step == man["step"]
+
+    probe = man["probe"]
+    texts = jnp.asarray(np.asarray(probe["texts"], np.int32))
+    src_lens = jnp.asarray(np.asarray(probe["src_lens"], np.int32))
+
+    def run(variables):
+        out = model.apply(
+            variables, speakers=jnp.zeros(texts.shape[0], jnp.int32),
+            texts=texts, src_lens=src_lens, mode="infer",
+            max_mel_len=probe["budget"], deterministic=True)
+        return out["postnet_mel_predictions"], out["mel_lens"]
+
+    variables = {"params": packed["params"],
+                 "batch_stats": packed.get("batch_stats", {})}
+    mel, mel_lens = jax.jit(run)(variables)
+    mel = np.asarray(mel, np.float32)
+    mel_lens = np.asarray(mel_lens)
+
+    want_lens = np.asarray(probe["expect_mel_lens"])
+    # CPU-vs-TPU duration rounding may flip a frame or two per utterance
+    assert np.all(np.abs(mel_lens - want_lens)
+                  <= np.maximum(0.05 * want_lens, 3)), (mel_lens, want_lens)
+    for i, want_mean in enumerate(probe["expect_mel_mean"]):
+        got = float(mel[i, :mel_lens[i]].mean())
+        assert abs(got - want_mean) < 0.1, (i, got, want_mean)
+
+    # sensitivity: the gate must actually detect a perturbed pack — nudge
+    # one duration-predictor kernel and require the probe to move
+    def perturb(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        target = None
+        for path, leaf in flat:
+            keys = "/".join(str(getattr(p, "key", p)) for p in path)
+            if "duration" in keys.lower() and np.asarray(leaf).ndim >= 2:
+                target = keys
+                break
+        assert target is not None, "no duration-predictor leaf found"
+
+        def mut(path, leaf):
+            keys = "/".join(str(getattr(p, "key", p)) for p in path)
+            if keys == target:
+                return np.asarray(leaf) + 0.5
+            return leaf
+        return jax.tree_util.tree_map_with_path(mut, tree)
+
+    mel2, mel_lens2 = jax.jit(run)(
+        {"params": perturb(packed["params"]),
+         "batch_stats": packed.get("batch_stats", {})})
+    assert not np.array_equal(np.asarray(mel_lens2), mel_lens), \
+        "perturbed duration head left predicted lengths unchanged"
+
+
 def test_pack_is_compact(tmp_path):
     tree = {"params": {"w": np.zeros((256, 256), np.float32)}}
     path = os.path.join(tmp_path, "packed.npz")

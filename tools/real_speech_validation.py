@@ -22,8 +22,10 @@ This tool drives the PRODUCTION pipeline over that audio:
 
 Writes `REAL_SPEECH_VALIDATION.md` at the repo root.
 
-Usage: python tools/real_speech_validation.py [build|train|all]   (default all)
-CPU-safe for `build`; `train` wants the TPU (CTTS_FORCE_CPU=1 to override).
+Usage: python tools/real_speech_validation.py [build|train|vctk|all]
+(default all). CPU-safe for `build`; `train` (LJdemo plateau + fidelity +
+ckpt pack) and `vctk` (multi-speaker) want the TPU (CTTS_FORCE_CPU=1 to
+override; RSV_MAX_STEPS / RSV_VCTK_STEPS bound the runs).
 """
 
 import json
@@ -206,25 +208,45 @@ def cmd_build(report):
 # alignment training on real speech
 # --------------------------------------------------------------------- #
 
+_AM_JIT = {}
+
+
+def _am_apply_jit(model):
+    """Jitted attn-outs apply per model (EAGER model.apply dispatches
+    op-by-op through the TPU tunnel — the round-3 serving bug class)."""
+    import jax
+    hit = _AM_JIT.get(id(model))
+    if hit is None or hit[0] is not model:
+        def apply(variables, speakers, texts, src_lens, mels, mel_lens,
+                  pitch_targets, energy_targets, attn_priors, step):
+            out, _ = model.apply(
+                variables, mutable=["batch_stats"], speakers=speakers,
+                texts=texts, src_lens=src_lens, mode="train_unsup",
+                mels=mels, mel_lens=mel_lens, pitch_targets=pitch_targets,
+                energy_targets=energy_targets, attn_priors=attn_priors,
+                step=step, deterministic=True)
+            return out["attn_outs"][0], out["attn_outs"][1]
+        hit = (model, jax.jit(apply))
+        _AM_JIT[id(model)] = hit
+    return hit[1]
+
+
 def _alignment_metrics(model, variables, batch, step):
     """Soft-mass-on-hard-path + hard-path diagonality for one batch."""
-    import jax
     import jax.numpy as jnp
-    out, _ = model.apply(
-        variables, mutable=["batch_stats"],
-        speakers=jnp.asarray(batch["speakers"]),
-        texts=jnp.asarray(batch["texts"]),
-        src_lens=jnp.asarray(batch["src_lens"]),
-        mode="train_unsup",
-        mels=jnp.asarray(batch["mels"]),
-        mel_lens=jnp.asarray(batch["mel_lens"]),
-        pitch_targets={k: jnp.asarray(v)
-                       for k, v in batch["pitch_data"].items()},
-        energy_targets=jnp.asarray(batch["energies"]),
-        attn_priors=jnp.asarray(batch["attn_priors"]),
-        step=jnp.asarray(step), deterministic=True)
-    soft = np.asarray(out["attn_outs"][0], np.float32)   # [B(,1),T_m,T_s]
-    hard = np.asarray(out["attn_outs"][1], np.float32)
+    soft, hard = _am_apply_jit(model)(
+        variables,
+        jnp.asarray(batch["speakers"]),
+        jnp.asarray(batch["texts"]),
+        jnp.asarray(batch["src_lens"]),
+        jnp.asarray(batch["mels"]),
+        jnp.asarray(batch["mel_lens"]),
+        {k: jnp.asarray(v) for k, v in batch["pitch_data"].items()},
+        jnp.asarray(batch["energies"]),
+        jnp.asarray(batch["attn_priors"]),
+        jnp.asarray(step))
+    soft = np.asarray(soft, np.float32)                  # [B(,1),T_m,T_s]
+    hard = np.asarray(hard, np.float32)
     soft = soft[:, 0] if soft.ndim == 4 else soft
     hard = hard[:, 0] if hard.ndim == 4 else hard
     mass, diag = [], []
@@ -239,7 +261,8 @@ def _alignment_metrics(model, variables, batch, step):
     return float(np.mean(mass)), float(np.mean(diag))
 
 
-def cmd_train(report, steps=400):
+def _train_setup(name, batch_size=4):
+    """Shared model/data/step setup for the real-speech training runs."""
     import jax
     if os.environ.get("CTTS_FORCE_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
@@ -254,26 +277,26 @@ def cmd_train(report, steps=400):
                                               make_train_step)
     from ctts_tpu.utils.optimizer import build_optimizer
 
-    name, spec = "LJdemo", CORPORA["LJdemo"]
+    spec = CORPORA[name]
     pre, mod, tr = _configs_for(name, spec)
     mod = prepare_model_config(pre, mod)
-    tr["optimizer"]["batch_size"] = 4
-    # the micro-corpus is 4 train utterances: binarize + use hard durations
-    # from the start so the duration/variance losses see MAS output, and
-    # open the variance gate so the duration/pitch/energy predictors train
-    # (with the reference's 50k-step gate a 400-step run would leave the
-    # duration head at random init — bench.py's trained-ckpt mode needs it
-    # to predict real per-token durations)
+    tr["optimizer"]["batch_size"] = batch_size
+    # micro-corpus: binarize + use hard durations from the start so the
+    # duration/variance losses see MAS output, and open the variance gate
+    # so the duration/pitch/energy predictors train (with the reference's
+    # 50k-step gate a short run would leave the duration head at random
+    # init — bench.py's trained-ckpt mode needs real per-token durations)
     tr["step"]["binarization_start_steps"] = 0
     tr["step"]["var_start_steps"] = 0
 
     ds = Dataset("train_unsup.txt", pre, mod, tr, sort=True, drop_last=False)
+    raw_batches = list(ds.batches(group_size=1, shuffle=False))
     batches = [{k: v for k, v in b.items() if k not in ("ids", "raw_texts")}
-               for b in ds.batches(group_size=1, shuffle=False)]
-    assert batches, "no training batches in the micro-corpus"
-    batch = batches[0]
+               for b in raw_batches]
+    assert batches, f"no training batches in the {name} micro-corpus"
 
     model = CompTransTTS(pre, mod, tr)
+    batch = batches[0]
     kwargs = dict(
         speakers=jnp.asarray(batch["speakers"]),
         texts=jnp.asarray(batch["texts"]),
@@ -290,45 +313,103 @@ def cmd_train(report, steps=400):
     state = create_train_state(variables, tx)
     step_fn = make_train_step(model, tx, pre, mod, tr, "train_unsup",
                               donate=False)
+    return dict(pre=pre, mod=mod, tr=tr, model=model, state=state,
+                step_fn=step_fn, batches=batches, raw_batches=raw_batches)
 
-    def vars_of(state):
-        return {"params": state.params,
-                "batch_stats": state.batch_stats or {}}
 
-    m0_mass, m0_diag = _alignment_metrics(model, vars_of(state), batch, 0)
-    hist = []
+def _vars_of(state):
+    return {"params": state.params, "batch_stats": state.batch_stats or {}}
+
+
+def _run_training(setup, max_steps, plateau_window=0, plateau_tol=0.02,
+                  min_steps=0, log_every=50):
+    """Train on the micro-corpus; optional mel-loss plateau early-stop:
+    stop when mean mel loss over the last window improves < plateau_tol
+    relative to the window before it. Returns (state, hist, wall,
+    compile_s, stop_step)."""
+    import jax
+    state, step_fn, batches = (setup["state"], setup["step_fn"],
+                               setup["batches"])
+    hist, mel_log = [], []
     t0 = time.time()
-    for s in range(steps):
+    compile_s = None
+    s = 0
+    while s < max_steps:
         b = batches[s % len(batches)]
         state, metrics = step_fn(state, b, jax.random.PRNGKey(s))
-        if s % 50 == 0 or s == steps - 1:
-            hist.append((s, float(metrics["total"]), float(metrics["ctc"]),
-                         float(metrics["bin"]), float(metrics["mel"])))
-            print(f"step {s}: total={hist[-1][1]:.3f} ctc={hist[-1][2]:.3f}"
-                  f" bin={hist[-1][3]:.3f} mel={hist[-1][4]:.3f}",
-                  flush=True)
+        if s == 0:
+            jax.block_until_ready(metrics["total"])
+            compile_s = time.time() - t0
+        if s % log_every == 0 or s == max_steps - 1:
+            row = (s, float(metrics["total"]), float(metrics["ctc"]),
+                   float(metrics["bin"]), float(metrics["mel"]))
+            hist.append(row)
+            mel_log.append(row[4])
+            print(f"step {s}: total={row[1]:.3f} ctc={row[2]:.3f}"
+                  f" bin={row[3]:.3f} mel={row[4]:.3f}", flush=True)
+            k = max(plateau_window // log_every, 2)
+            if (plateau_window and s >= max(min_steps, 2 * plateau_window)
+                    and len(mel_log) >= 2 * k):
+                prev = float(np.mean(mel_log[-2 * k:-k]))
+                last = float(np.mean(mel_log[-k:]))
+                if prev - last < plateau_tol * prev:
+                    print(f"plateau at step {s}: mel {prev:.4f} -> "
+                          f"{last:.4f} (<{plateau_tol:.0%} window gain)",
+                          flush=True)
+                    s += 1
+                    break
+        s += 1
     wall = time.time() - t0
-    m1_mass, m1_diag = _alignment_metrics(model, vars_of(state), batch,
+    return state, hist, wall, compile_s, s
+
+
+def cmd_train(report, max_steps=None):
+    """LJdemo: train the FULL model to a mel-loss plateau (overfitting the
+    4-utterance micro-corpus is the point), then quantify synthesis
+    fidelity (teacher-forced mel L1 + free-running MCD-DTW) and commit
+    wav/png artifacts. VERDICT-r3 missing #2."""
+    import jax
+
+    name = "LJdemo"
+    max_steps = max_steps or int(os.environ.get("RSV_MAX_STEPS", 6000))
+    setup = _train_setup(name, batch_size=4)
+    batch = setup["batches"][0]
+    model = setup["model"]
+
+    m0_mass, m0_diag = _alignment_metrics(model, _vars_of(setup["state"]),
+                                          batch, 0)
+    state, hist, wall, compile_s, steps = _run_training(
+        setup, max_steps, plateau_window=750, plateau_tol=0.02,
+        min_steps=1500)
+    m1_mass, m1_diag = _alignment_metrics(model, _vars_of(state), batch,
                                           steps)
 
-    # persist the briefly-trained weights: bench.py picks them up (when
-    # present) so its predicted durations come from a net that has seen
-    # real speech instead of random init
+    # persist the trained weights: bench.py picks them up (when present)
+    # so its predicted durations come from a net trained on real speech
     from ctts_tpu.utils.checkpoint import save_checkpoint
     ckpt_dir = os.path.join(_OUT, name, "ckpt")
     shutil.rmtree(ckpt_dir, ignore_errors=True)
-    save_checkpoint(ckpt_dir, jax.device_get(vars_of(state)), steps)
+    save_checkpoint(ckpt_dir, jax.device_get(_vars_of(state)), steps)
     print(f"checkpoint -> {ckpt_dir}", flush=True)
 
-    report.append("\n## 2. Unsupervised alignment learns on real speech\n")
+    steady_ms = ((wall - (compile_s or 0.0)) / max(steps - 1, 1)) * 1000
+    report.append("\n## 2. Full-model training to a mel plateau on real "
+                  "speech\n")
     report.append(
         f"Production unsup train step (parallel/train_step.py — the same "
-        f"jitted function train.py runs) for {steps} steps on the LJdemo "
-        f"micro-corpus, batch 4, real mels/f0/energy from part 1, on "
-        f"`{jax.devices()[0].device_kind}` ({wall:.0f}s wall).\n")
+        f"jitted function train.py runs) on the LJdemo micro-corpus, batch "
+        f"4, real mels/f0/energy from part 1, on "
+        f"`{jax.devices()[0].device_kind}`: stopped at step {steps} "
+        f"(plateau early-stop: <2% mel gain over 750-step windows, cap "
+        f"{max_steps}). Wall {wall:.0f}s = {compile_s:.0f}s first-step "
+        f"compile + {steady_ms:.0f} ms/step steady-state.\n")
     report.append("| step | total | ctc | bin | mel |")
     report.append("|---|---|---|---|---|")
-    for s, tot, ctc, bl, mel in hist:
+    stride = max(len(hist) // 14, 1)
+    shown = hist[::stride]
+    if shown[-1] is not hist[-1]:
+        shown.append(hist[-1])
+    for s, tot, ctc, bl, mel in shown:
         report.append(f"| {s} | {tot:.3f} | {ctc:.3f} | {bl:.3f} "
                       f"| {mel:.3f} |")
     report.append("")
@@ -347,6 +428,305 @@ def cmd_train(report, steps=400):
         f"path is monotone-diagonal (corr {m1_diag:.3f}): "
         f"**{'PASS' if ok else 'FAIL'}** — the aligner locks onto real "
         "speech, not just synthetic tones.")
+
+    fid_ok = _fidelity(name, setup, state, report)
+    if os.environ.get("RSV_PACK", "1") != "0":   # RSV_PACK=0: smoke runs
+        _write_ckpt_manifest(name, setup, state, steps, hist)
+    return ok and fid_ok
+
+
+# --------------------------------------------------------------------- #
+# synthesis fidelity after convergence
+# --------------------------------------------------------------------- #
+
+def _mel_cepstra(logmel, n_coef=13):
+    """DCT-II (orthonormal) of the log-mel frames, coefficients 1..n_coef —
+    the standard MCD front-end approximated from the model's own mel
+    features (no WORLD/SPTK in the container)."""
+    n = logmel.shape[-1]
+    k = np.arange(n)
+    basis = np.cos(np.pi * (k[:, None] + 0.5) * np.arange(n)[None, :] / n)
+    basis *= np.sqrt(2.0 / n)
+    basis[:, 0] = np.sqrt(1.0 / n)
+    c = logmel @ basis
+    return c[..., 1:n_coef + 1]
+
+
+def _mcd_dtw(mel_a, mel_b):
+    """Mel-cepstral distortion (dB) along the DTW path between two log-mel
+    sequences [T,80] (natural-log compressed; converted to dB inside)."""
+    ln_to_db = 10.0 / np.log(10.0)
+    ca = _mel_cepstra(mel_a * ln_to_db)
+    cb = _mel_cepstra(mel_b * ln_to_db)
+    Ta, Tb = len(ca), len(cb)
+    dist = np.sqrt(((ca[:, None, :] - cb[None, :, :]) ** 2).sum(-1))
+    acc = np.full((Ta, Tb), np.inf)
+    acc[0, 0] = dist[0, 0]
+    for i in range(Ta):
+        for j in range(Tb):
+            if i == j == 0:
+                continue
+            best = min(acc[i - 1, j] if i else np.inf,
+                       acc[i, j - 1] if j else np.inf,
+                       acc[i - 1, j - 1] if i and j else np.inf)
+            acc[i, j] = dist[i, j] + best
+    # path length via backtrack
+    i, j, steps = Ta - 1, Tb - 1, 1
+    while i or j:
+        choices = [(acc[i - 1, j - 1] if i and j else np.inf, i - 1, j - 1),
+                   (acc[i - 1, j] if i else np.inf, i - 1, j),
+                   (acc[i, j - 1] if j else np.inf, i, j - 1)]
+        _, i, j = min(choices)
+        steps += 1
+    return float(np.sqrt(2.0) * acc[-1, -1] / steps)
+
+
+def _fidelity(name, setup, state, report):
+    """Copy-synthesis fidelity on the training utterances after the
+    plateau: teacher-forced (MAS-duration) postnet mel L1 vs ground truth,
+    free-running (predicted-duration) MCD-DTW, committed wav/png artifacts
+    (griffin-lim — no pretrained neural vocoder weights ship in this
+    container). Counterpart of the reference's converged demo outputs
+    (/root/reference/demo/LJSpeech_v0.2.1/900000/)."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from ctts_tpu.audio.tools import inv_mel_spec_batch
+    from scipy.io import wavfile
+
+    model, pre = setup["model"], setup["pre"]
+    variables = _vars_of(state)
+    art_dir = os.path.join(_REPO, "assets", "fidelity", name)
+    shutil.rmtree(art_dir, ignore_errors=True)
+    os.makedirs(art_dir)
+
+    def tf_apply(variables, b):
+        out, _ = model.apply(
+            variables, mutable=["batch_stats"],
+            speakers=b["speakers"], texts=b["texts"],
+            src_lens=b["src_lens"], mode="train_unsup",
+            mels=b["mels"], mel_lens=b["mel_lens"],
+            pitch_targets=b["pitch_data"], energy_targets=b["energies"],
+            attn_priors=b["attn_priors"],
+            step=jnp.asarray(10**9), deterministic=True)
+        return out["postnet_mel_predictions"]
+
+    tf_jit = jax.jit(tf_apply)
+
+    def infer_apply(variables, speakers, texts, src_lens, budget):
+        out = model.apply(variables, speakers=speakers, texts=texts,
+                          src_lens=src_lens, mode="infer",
+                          max_mel_len=budget, deterministic=True)
+        return (out["postnet_mel_predictions"], out["mel_lens"])
+
+    infer_jit = jax.jit(infer_apply, static_argnames=("budget",))
+
+    rows, tf_l1s, mcds = [], [], []
+    for raw in setup["raw_batches"]:
+        b = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else
+                 {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                 if isinstance(v, dict) else v)
+             for k, v in raw.items() if k not in ("ids", "raw_texts")}
+        tf_mel = np.asarray(tf_jit(variables, b), np.float32)
+        budget = int(np.ceil(raw["mels"].shape[1] * 1.5 / 128) * 128)
+        inf_mel, inf_lens = infer_jit(variables, b["speakers"], b["texts"],
+                                      b["src_lens"], budget)
+        inf_mel = np.asarray(inf_mel, np.float32)
+        inf_lens = np.asarray(inf_lens)
+        for i, utt in enumerate(raw["ids"]):
+            M = int(raw["mel_lens"][i])
+            gt = raw["mels"][i, :M]
+            tf_i = tf_mel[i, :M]
+            l1 = float(np.abs(tf_i - gt).mean())
+            Mi = max(int(inf_lens[i]), 8)
+            mcd = _mcd_dtw(inf_mel[i, :Mi], gt)
+            tf_l1s.append(l1)
+            mcds.append(mcd)
+            rows.append((utt, M, l1, Mi, mcd))
+
+            fig, axes = plt.subplots(3, 1, figsize=(10, 7), sharex=False)
+            for ax, m, title in zip(
+                    axes, (gt, tf_i, inf_mel[i, :Mi]),
+                    ("ground-truth mel",
+                     f"teacher-forced (MAS durations), L1={l1:.3f}",
+                     f"free-running inference, MCD-DTW={mcd:.2f} dB")):
+                ax.imshow(m.T, origin="lower", aspect="auto",
+                          interpolation="none")
+                ax.set_title(title, fontsize=9)
+            fig.tight_layout()
+            fig.savefig(os.path.join(art_dir, f"{utt}_mel.png"), dpi=80)
+            plt.close(fig)
+
+        # audio artifacts for the first batch: free-running synthesis and
+        # the griffin-lim oracle (GT mel through the same inverse) — the
+        # oracle bounds what the mel→wav stage can reconstruct
+        if raw is setup["raw_batches"][0]:
+            sr = pre["preprocessing"]["audio"]["sampling_rate"]
+            for i, utt in enumerate(raw["ids"][:2]):
+                M = int(raw["mel_lens"][i])
+                Mi = max(int(inf_lens[i]), 8)
+                synth = inv_mel_spec_batch(inf_mel[None, i, :Mi], pre)[0]
+                oracle = inv_mel_spec_batch(
+                    raw["mels"][None, i, :M].astype(np.float32), pre)[0]
+                for tag, wav in (("synth", synth), ("oracle_gtmel", oracle)):
+                    pcm = np.clip(wav, -1, 1)
+                    pcm = (pcm * 32767).astype(np.int16)
+                    wavfile.write(os.path.join(
+                        art_dir, f"{utt}_{tag}.wav"), sr, pcm)
+
+    report.append("\n### Synthesis fidelity after the plateau "
+                  "(copy-synthesis on the training utterances)\n")
+    report.append("| utterance | GT frames | teacher-forced mel L1 | "
+                  "inferred frames | MCD-DTW (dB) |")
+    report.append("|---|---|---|---|---|")
+    for utt, M, l1, Mi, mcd in rows:
+        report.append(f"| {utt} | {M} | {l1:.3f} | {Mi} | {mcd:.2f} |")
+    tf_mean = float(np.mean(tf_l1s))
+    mcd_mean = float(np.mean(mcds))
+    report.append(f"| **mean** | | **{tf_mean:.3f}** | | "
+                  f"**{mcd_mean:.2f}** |")
+    ok = tf_mean < 0.45
+    report.append("")
+    report.append(
+        f"- Teacher-forced postnet mel L1 {tf_mean:.3f} (vs 1.03 at the "
+        f"round-3 400-step checkpoint) — the training loop drives the FULL "
+        f"model (not just the aligner) to convergence on real speech: "
+        f"**{'PASS' if ok else 'FAIL'}**. Free-running MCD-DTW "
+        f"{mcd_mean:.2f} dB with durations from the trained duration "
+        "head. Wav/png artifacts: `assets/fidelity/" + name + "/` "
+        "(griffin-lim mel inversion; `*_oracle_gtmel.wav` is the "
+        "ground-truth mel through the same inverse — the mel→wav bound).")
+    return ok
+
+
+def _write_ckpt_manifest(name, setup, state, steps, hist):
+    """Pack the plateau checkpoint to assets/ljdemo_ckpt.npz and record a
+    behavioral manifest (fixed probe inputs + expected duration/mel
+    statistics FROM THE PACKED WEIGHTS) so tests/test_checkpoint_pack.py
+    can detect a stale or wrongly repacked npz (VERDICT-r3 weak #6)."""
+    import jax
+    import jax.numpy as jnp
+    from ctts_tpu.utils.checkpoint import pack_params_npz, load_params_npz
+
+    model = setup["model"]
+    npz_path = os.path.join(_REPO, "assets", "ljdemo_ckpt.npz")
+    pack_params_npz(jax.device_get(_vars_of(state)), npz_path, steps)
+
+    packed, _ = load_params_npz(npz_path)
+    raw = setup["raw_batches"][0]
+    texts = np.asarray(raw["texts"], np.int32)
+    src_lens = np.asarray(raw["src_lens"], np.int32)
+    budget = int(np.ceil(raw["mels"].shape[1] * 1.5 / 128) * 128)
+
+    def probe(variables):
+        out = model.apply(
+            variables, speakers=jnp.zeros(texts.shape[0], jnp.int32),
+            texts=jnp.asarray(texts), src_lens=jnp.asarray(src_lens),
+            mode="infer", max_mel_len=budget, deterministic=True)
+        return out["postnet_mel_predictions"], out["mel_lens"]
+
+    mel, mel_lens = jax.jit(probe)(
+        {"params": packed["params"],
+         "batch_stats": packed.get("batch_stats", {})})
+    mel = np.asarray(mel, np.float32)
+    mel_lens = np.asarray(mel_lens)
+    mel_mean = [float(mel[i, :mel_lens[i]].mean())
+                for i in range(len(mel_lens))]
+    manifest = {
+        "step": int(steps),
+        "final_losses": {k: round(v, 4) for k, v in zip(
+            ("total", "ctc", "bin", "mel"), hist[-1][1:])},
+        "probe": {
+            "texts": texts.tolist(),
+            "src_lens": src_lens.tolist(),
+            "budget": budget,
+            "expect_mel_lens": mel_lens.tolist(),
+            "expect_mel_mean": [round(v, 4) for v in mel_mean],
+        },
+    }
+    man_path = os.path.join(_REPO, "assets", "ljdemo_ckpt_manifest.json")
+    with open(man_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"packed ckpt -> {npz_path}; manifest -> {man_path}", flush=True)
+
+
+# --------------------------------------------------------------------- #
+# multi-speaker training on real VCTK audio
+# --------------------------------------------------------------------- #
+
+def cmd_vctk(report, steps=None):
+    """VCTKdemo: run the unsup train loop with the speaker-embedding path
+    active on 10 real VCTK speakers; assert per-speaker alignment
+    diagonality and falling CTC (VERDICT-r3 missing #3). Counterpart of
+    the reference's VCTK recipe (preprocessor/preprocessor.py:259-263,
+    model/speaker_embedder.py:11-42 — here the trainable-table path, as
+    the DeepSpeaker .h5 is an external download)."""
+    import jax
+
+    steps = steps or int(os.environ.get("RSV_VCTK_STEPS", 1000))
+    name = "VCTKdemo"
+    setup = _train_setup(name, batch_size=4)
+    model, batches = setup["model"], setup["batches"]
+
+    def batch_means(state, step):
+        vals = [_alignment_metrics(model, _vars_of(state), b, step)
+                for b in batches]
+        return (float(np.mean([v[0] for v in vals])),
+                float(np.mean([v[1] for v in vals])))
+
+    m0_mass, m0_diag = batch_means(setup["state"], 0)
+
+    state, hist, wall, compile_s, stop = _run_training(
+        setup, steps, log_every=100)
+    m1_mass, m1_diag = batch_means(state, stop)
+
+    # per-speaker rows (one utterance per speaker in this micro-corpus):
+    # slice each batch to a single row and reuse the batch metric
+    spk_rows = []
+    for raw, b in zip(setup["raw_batches"], batches):
+        for i, utt in enumerate(raw["ids"]):
+            bi = {k: (v[i:i + 1] if isinstance(v, np.ndarray) else
+                      {kk: vv[i:i + 1] for kk, vv in v.items()}
+                      if isinstance(v, dict) else v)
+                  for k, v in b.items()}
+            mi, di = _alignment_metrics(model, _vars_of(state), bi, stop)
+            spk_rows.append((utt, mi, di))
+
+    report.append("\n## 3. Multi-speaker training on real VCTK audio\n")
+    report.append(
+        f"Production unsup train step with the speaker-embedding table "
+        f"active (multi_speaker=true, 10 real VCTK speakers, 1 utterance "
+        f"each) for {stop} steps, batch 4, on "
+        f"`{jax.devices()[0].device_kind}` ({wall:.0f}s wall incl. "
+        f"{compile_s:.0f}s compile).\n")
+    report.append("| step | total | ctc | bin | mel |")
+    report.append("|---|---|---|---|---|")
+    for s, tot, ctc, bl, mel in hist[:: max(len(hist) // 12, 1)]:
+        report.append(f"| {s} | {tot:.3f} | {ctc:.3f} | {bl:.3f} "
+                      f"| {mel:.3f} |")
+    report.append("")
+    report.append("| speaker (utterance) | soft mass on MAS path | "
+                  "hard-path diagonality |")
+    report.append("|---|---|---|")
+    for utt, mi, di in spk_rows:
+        report.append(f"| {utt} | {mi:.3f} | {di:.3f} |")
+    ctc_drop = hist[0][2] - hist[-1][2]
+    min_diag = min(di for _, _, di in spk_rows)
+    ok = ctc_drop > 0.5 and m1_mass > m0_mass and min_diag > 0.9
+    report.append("")
+    report.append(
+        f"- CTC fell {ctc_drop:.2f} nats; soft mass {m0_mass:.3f} → "
+        f"{m1_mass:.3f}; worst per-speaker diagonality {min_diag:.3f}: "
+        f"**{'PASS' if ok else 'FAIL'}** — the speaker-conditioned aligner "
+        "locks onto every real VCTK speaker, not just single-speaker "
+        "LJSpeech.")
+    # persist for regression checks
+    ckpt_dir = os.path.join(_OUT, name, "ckpt")
+    from ctts_tpu.utils.checkpoint import save_checkpoint
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    save_checkpoint(ckpt_dir, jax.device_get(_vars_of(state)), stop)
     return ok
 
 
@@ -371,6 +751,8 @@ def main():
         ok = cmd_build(report) and ok
     if what in ("train", "all"):
         ok = cmd_train(report) and ok
+    if what in ("vctk", "all"):
+        ok = cmd_vctk(report) and ok
     with open(_REPORT, "w") as f:
         f.write("\n".join(report) + "\n")
     print(f"report -> {_REPORT}  overall={'PASS' if ok else 'FAIL'}")

@@ -75,6 +75,69 @@ def test_mel_energy_stats_on_real_speech(lj_micro):
         ref_stats["spec_unsup_max"]) + 0.3
 
 
+@pytest.fixture(scope="module")
+def vctk_micro(tmp_path_factory):
+    rsv = _tool()
+    rsv._OUT = str(tmp_path_factory.mktemp("real_speech_vctk"))
+    name, spec = "VCTKdemo", rsv.CORPORA["VCTKdemo"]
+    raw, used = rsv.build_corpus(name, spec)
+    stats, ref_stats, _ = rsv.preprocess_corpus(name, spec)
+    pre, _, _ = rsv._configs_for(name, spec)
+    return rsv, pre, used, stats, ref_stats
+
+
+def test_vctk_stats_on_real_speech(vctk_micro):
+    """Regression gate for the VCTK half of the real-speech validation
+    (VERDICT-r3 weak #5): multi-speaker corpus, male AND female speakers,
+    so the f0 spread is wide and the energy statistic sits lower than
+    LJSpeech's. Pins the ratios the round-3 run measured so drift in the
+    tracker/energy path fails here instead of only in a hand-rerun tool."""
+    rsv, pre, used, stats, ref_stats = vctk_micro
+    assert len(used) >= 8  # 10 speakers ship; tolerate a couple missing
+    f0_mean, f0_std = stats["f0_unsup"]
+    ref_mean, ref_std = ref_stats["f0_unsup"]
+    # mixed-sex 10-speaker sample vs 109-speaker corpus statistic
+    assert 0.7 * ref_mean <= f0_mean <= 1.3 * ref_mean, (f0_mean, ref_mean)
+    assert 30.0 <= f0_std <= 2.0 * ref_std, (f0_std, ref_std)
+    # energy mean measured at ratio ~0.74 in round 3; gate at 2x
+    e_mean = stats["energy_unsup_frame"][2]
+    ref_e = ref_stats["energy_unsup_frame"][2]
+    assert 0.5 * ref_e <= e_mean <= 2.0 * ref_e, (e_mean, ref_e)
+    # log-mel dynamic range contained in the shipped full-corpus range
+    assert min(stats["spec_unsup_min"]) >= min(
+        ref_stats["spec_unsup_min"]) - 0.1
+    assert max(stats["spec_unsup_max"]) <= max(
+        ref_stats["spec_unsup_max"]) + 0.3
+
+
+def test_vctk_speaker_map_and_f0_spread(vctk_micro):
+    """Each demo speaker gets its own ID, and per-speaker median f0 spans
+    a real male/female spread (the single-speaker LJ test can't cover
+    speaker conditioning inputs at all)."""
+    rsv, pre, used, stats, ref_stats = vctk_micro
+    pp = pre["path"]["preprocessed_path"]
+    with open(os.path.join(pp, "speakers.json")) as f:
+        speakers = json.load(f)
+    spk_of_utt = {base: spk for base, spk, _ in used}
+    assert set(spk_of_utt.values()) <= set(speakers)
+    assert len(set(speakers.values())) == len(speakers)  # distinct IDs
+
+    f0_dir = os.path.join(pp, "f0_unsup")
+    per_spk = {}
+    for fn in os.listdir(f0_dir):
+        # <speaker>-f0-<base>.npy layout (reference-compatible store)
+        spk = fn.split("-")[0]
+        f0 = np.load(os.path.join(f0_dir, fn))
+        v = f0[f0 > 0]
+        assert v.size > 20, fn
+        per_spk.setdefault(spk, []).append(float(np.median(v)))
+    assert len(per_spk) >= 8
+    medians = sorted(np.mean(v) for v in per_spk.values())
+    # male floor under 160 Hz, female ceiling above 180 Hz
+    assert medians[0] < 160.0, medians
+    assert medians[-1] > 180.0, medians
+
+
 def test_metadata_round_trip_through_loader(lj_micro):
     """The micro-corpus store loads through the production Dataset with
     the exact phone sequences the reference shipped."""

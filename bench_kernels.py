@@ -164,6 +164,44 @@ def bench_local_window():
            5e-3, 5e-2)
 
 
+def bench_lsh_chunk():
+    """Fully fused LSH chunk attention (MEASURED AND REJECTED — opt-in
+    via CTTS_FUSED_LSH=1, see ops/lsh_chunk_attention.supported) vs the
+    default sort_gather fast path, full lsh_attention at reformer bench
+    shapes (B·lsh_heads=64, N=896, d=32, 4 hashes). Kept in the bench so
+    the rejection stays a measurement, not folklore."""
+    import os
+    from unittest import mock
+
+    from ctts_tpu.models import reformer as R
+    rng = np.random.RandomState(0)
+    B, N, d = 64, 896, 32
+    qk = jnp.asarray(rng.randn(B, N, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, N, d).astype(np.float32) * 0.3)
+    valid = jnp.asarray(rng.rand(B, N) > 0.1)
+    key = jax.random.PRNGKey(0)
+
+    def loss(a, b):
+        return (R.lsh_attention(a, b, valid, key) ** 2).sum()
+
+    with mock.patch.dict(os.environ, {"CTTS_FUSED_LSH": "1"}):
+        fwd = jax.jit(lambda a, b: R.lsh_attention(a, b, valid, key))
+        lf = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        val_f, g_f = fwd(qk, v), lf(qk, v)
+        t_f, t_ffwd = timeit(lf, qk, v), timeit(fwd, qk, v)
+    with mock.patch.object(R.lsh_chunk_attention, "supported",
+                           lambda *a, **k: False):
+        slow = jax.jit(lambda a, b: R.lsh_attention(a, b, valid, key))
+        lr = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        val_r, g_r = slow(qk, v), lr(qk, v)
+        t_r, t_rfwd = timeit(lr, qk, v), timeit(slow, qk, v)
+    err = float(jnp.abs(val_f - val_r).max())
+    gerr = _gerr(g_f, g_r)
+    report("lsh_chunk_attn", err, gerr, t_f, t_r, 5e-3, 5e-2)
+    print(f"{'':22s} fwd only: fused={t_ffwd:.2f}ms  "
+          f"fallback={t_rfwd:.2f}ms  (rejected: default off)", flush=True)
+
+
 def bench_mas():
     from ctts_tpu.ops import mas as M
     rng = np.random.RandomState(0)
@@ -214,6 +252,7 @@ if __name__ == "__main__":
     bench_relpos_attention()
     bench_sort_gather()
     bench_local_window()
+    bench_lsh_chunk()
     bench_mas()
     bench_forward_sum()
     if FAILS:

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ctts_tpu.models.transformer import _sinusoid_encoding, _dtype_of
-from ctts_tpu.ops import local_window_attention, sort_gather
+from ctts_tpu.ops import local_window_attention, lsh_chunk_attention, \
+    sort_gather
 from ctts_tpu.text.symbols import symbols
 
 NEG = -1e9
@@ -96,6 +97,18 @@ def lsh_attention(qk, v, valid, rng, bucket_size=64, n_hashes=4,
             (buckets_and_t, ticker, valid4), dimension=-1, num_keys=1,
             is_stable=True)
         st = sticker % N                                  # source positions
+        if lsh_chunk_attention.supported(N, bucket_size, d, n_hashes):
+            # fully fused sorted domain: the gather, look-one-back
+            # attention and logsumexp never leave VMEM; only the un-sort
+            # scatter and the hash-round combine stay in XLA
+            out = lsh_chunk_attention.chunk_attention(
+                qk, v, st, svalid, valid, bucket_size, causal, d ** -0.5)
+            unsorted = sort_gather.scatter_rows(out, sticker, n_hashes * N)
+            o = unsorted[..., :d].reshape(B, n_hashes, N, d)
+            logits = unsorted[..., d].reshape(B, n_hashes, N, 1)
+            w = jnp.exp(logits - jax.nn.logsumexp(logits, axis=1,
+                                                  keepdims=True))
+            return jnp.sum(o * w, axis=1)
         saug = sort_gather.gather_rows(jnp.concatenate([qk, v], -1), st)
         sqk = saug[..., :d]
         sv = saug[..., d:]

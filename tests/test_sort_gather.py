@@ -11,6 +11,18 @@ import jax.numpy as jnp
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    # the env var above only takes effect if this module is imported
+    # before ctts_tpu.ops.* (each op snapshots it at import); under a
+    # full-suite run another test file may import them first, so force
+    # the flag on the already-imported modules too
+    from ctts_tpu.ops import local_window_attention, lsh_chunk_attention, \
+        sort_gather
+    for m in (sort_gather, local_window_attention, lsh_chunk_attention):
+        monkeypatch.setattr(m, "_INTERPRET", True)
+
+
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize("G,N,M,F", [(4, 128, 512, 65), (2, 896, 3584, 33),
                                      (3, 64, 64, 128)])
@@ -72,7 +84,12 @@ def test_vjp_roundtrip():
 
 def test_lsh_fast_path_matches_fallback():
     """The sort_gather-backed LSH path is bit-identical to the
-    take_along_axis path (forward) and grad-equivalent."""
+    take_along_axis path (forward) and grad-equivalent. The fully fused
+    chunk-attention kernel is disabled here — it is NOT bit-identical
+    (different contraction order) and has its own parity suite
+    (tests/test_lsh_pallas.py); this test pins the sort_gather path."""
+    from unittest import mock
+
     from ctts_tpu.ops import sort_gather
     from ctts_tpu.models import reformer as R
 
@@ -83,9 +100,11 @@ def test_lsh_fast_path_matches_fallback():
     valid = jnp.asarray(rng.rand(B, N) > 0.1)
     key = jax.random.PRNGKey(0)
 
-    fast = R.lsh_attention(qk, v, valid, key)
-    gfast = jax.grad(lambda q: (R.lsh_attention(q, v, valid, key) ** 2).sum()
-                     )(qk)
+    with mock.patch.object(R.lsh_chunk_attention, "supported",
+                           lambda *a, **k: False):
+        fast = R.lsh_attention(qk, v, valid, key)
+        gfast = jax.grad(lambda q: (R.lsh_attention(
+            q, v, valid, key) ** 2).sum())(qk)
     orig = sort_gather.supported
     sort_gather.supported = lambda *a, **k: False
     try:

@@ -8,8 +8,10 @@ the TPU-native serving surface the rest of the framework was shaped for:
   (warmed up at startup) and reused for the life of the server.
 - **Streaming responses** (`"stream": true`): the exact chunked vocoder
   (ctts_tpu/vocoder/streaming.py) emits PCM as it leaves the device via
-  HTTP chunked transfer encoding, so the client hears audio after ~one
-  window instead of after the full utterance.
+  HTTP chunked transfer encoding. Measured on the real chip
+  (SERVING_TTFA.json): time-to-first-audio p50 120.7 ms vs 135.7 ms for
+  the full path at ~3.9 s utterances, remaining chunks pipelined over the
+  next ~134 ms.
 - **Single-writer device access**: JAX dispatch is serialized by a lock;
   the HTTP layer is threaded so health checks and request parsing never
   wait on the device.

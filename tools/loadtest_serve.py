@@ -60,7 +60,19 @@ def _boot(max_batch, ckpt):
                            mode="infer", max_mel_len=128,
                            deterministic=True)
     weights = "random_init"
-    if ckpt and os.path.isdir(ckpt):
+    npz = os.path.join(_REPO, "assets", "ljdemo_ckpt.npz")
+    if (not (ckpt and os.path.isdir(ckpt))) and os.path.isfile(npz):
+        # container resets wipe output/; the committed bf16 pack keeps the
+        # duration distribution realistic (same fallback as bench.py)
+        from ctts_tpu.utils.checkpoint import load_params_npz
+        restored, step = load_params_npz(npz)
+        variables = dict(variables)
+        variables["params"] = jax.device_put(restored["params"])
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = jax.device_put(
+                restored["batch_stats"])
+        weights = f"packed_npz_step{step}"
+    elif ckpt and os.path.isdir(ckpt):
         from ctts_tpu.utils.checkpoint import restore_checkpoint_raw
         restored, step = restore_checkpoint_raw(os.path.abspath(ckpt))
         if step:
@@ -118,15 +130,105 @@ def _drive(url, clients, total):
     return lat, errs, wall
 
 
+def _timed_request(host, port, text, stream, timeout=600):
+    """One /tts request over a raw http.client connection, reading the
+    body incrementally so first-PCM-byte arrival is observable (urllib
+    buffers chunked bodies). Returns (ttfa_s, total_s, n_bytes): ttfa is
+    send→first PCM byte AFTER the 44-byte WAV header (for the streaming
+    path that is acoustic inference + the first vocoder window; for the
+    non-streaming path the whole body lands at once, so ttfa ≈ total)."""
+    import http.client
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+    body = json.dumps({"text": text, "stream": stream})
+    t0 = time.perf_counter()
+    conn.request("POST", "/tts", body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200, (resp.status, resp.read()[:200])
+    hdr = resp.read(44)                      # RIFF/fmt/data header
+    assert hdr[:4] == b"RIFF", hdr[:16]
+    first = resp.read(2)                     # first PCM sample
+    t_first = time.perf_counter()
+    n = len(hdr) + len(first)
+    while True:
+        buf = resp.read(65536)
+        if not buf:
+            break
+        n += len(buf)
+    t_total = time.perf_counter()
+    conn.close()
+    return t_first - t0, t_total - t0, n
+
+
+def cmd_ttfa(args):
+    """Measured time-to-first-audio at B=1 on the real chip: streaming
+    (`"stream": true`, exact chunked vocoder) vs the non-streaming
+    full-utterance path, sequential requests over a real HTTP socket.
+    Confirms the chunk pipeline actually overlaps on this runtime
+    (VERDICT-r3 weak #3: the analytic ~(chunk+2*halo)/T claim in
+    ctts_tpu/vocoder/streaming.py needs a measurement)."""
+    import numpy as np
+    service, srv, url, weights = _boot(1, args.ckpt)
+    host, port = srv.server_address
+    # warm every (shape, stream) combination outside the timed window —
+    # each distinct (16-token text bucket x mel budget x stream mode)
+    # is a fresh graph, and a cold compile through the remote TPU tunnel
+    # can take >10 min, so the warmup timeout is generous
+    n_warm = len(SENTENCES) * 2
+    for wi, s in enumerate(SENTENCES):
+        for stream in (False, True):
+            t0 = time.perf_counter()
+            _timed_request(host, port, s, stream, timeout=3600)
+            print(f"# warm {wi * 2 + int(stream) + 1}/{n_warm} "
+                  f"stream={stream} {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+
+    out = {"mode": "ttfa", "weights": weights,
+           "stream_chunk": service.stream_chunk, "repeats": args.requests}
+    for stream in (True, False):
+        ttfas, totals, sizes = [], [], []
+        for i in range(args.requests):
+            s = SENTENCES[i % len(SENTENCES)]
+            tf, tt, n = _timed_request(host, port, s, stream)
+            ttfas.append(tf)
+            totals.append(tt)
+            sizes.append(n)
+        ttfas = np.sort(ttfas)
+        totals = np.sort(totals)
+        key = "stream" if stream else "full"
+        out[key] = {
+            "ttfa_p50_ms": round(1e3 * float(ttfas[len(ttfas) // 2]), 1),
+            "ttfa_p95_ms": round(
+                1e3 * float(ttfas[min(int(len(ttfas) * 0.95),
+                                      len(ttfas) - 1)]), 1),
+            "total_p50_ms": round(1e3 * float(totals[len(totals) // 2]), 1),
+            "audio_s_p50": round(
+                float(np.median(sizes)) / 2 / service.sr, 2),
+        }
+    out["ttfa_speedup_p50"] = round(
+        out["full"]["ttfa_p50_ms"] / out["stream"]["ttfa_p50_ms"], 2)
+    out["stream_overhead_total_p50"] = round(
+        out["stream"]["total_p50_ms"] / out["full"]["total_p50_ms"], 2)
+    print(json.dumps(out), flush=True)
+    srv.shutdown()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--ttfa", action="store_true",
+                    help="measure time-to-first-audio (streaming vs full) "
+                         "at B=1 instead of the micro-batching A/B")
     ap.add_argument("--ckpt",
                     default=os.path.join(_REPO,
                                          "output/real_speech/LJdemo/ckpt"))
     args = ap.parse_args()
+
+    if args.ttfa:
+        cmd_ttfa(args)
+        return
 
     import numpy as np
     for max_batch in (args.max_batch, 1):

@@ -91,9 +91,9 @@ def main():
                                                 prepare_model_config)
     from ctts_tpu.vocoder.hifigan import HiFiGANGenerator, V1_CONFIG
 
-    # default serving batch: 128 utterances per length bucket (throughput
-    # scales with batch; the historical sweep numbers predate the async
-    # loop and understate it — re-sweep with BENCH_B to refresh)
+    # default serving batch: 128 utterances per length bucket (measured
+    # BENCH_B sweep 2026-08-19, trained weights: B=1 387x, B=16 854x,
+    # B=128 1651x real time per chip)
     B = int(os.environ.get("BENCH_B", 128))
     T_s = 128
     HOP, SR = 256, 22050

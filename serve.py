@@ -18,11 +18,15 @@ the TPU-native serving surface the rest of the framework was shaped for:
 - **Dynamic micro-batching**: concurrent non-streaming requests with the
   same control knobs are coalesced by a device-worker thread into one
   padded batch (power-of-two batch buckets up to --max_batch, a
-  --batch_window_ms collection window after the first request). Batch
-  synthesis throughput scales ~6x from B=1 to B=16 on one chip (bench.py
-  batch sweep), so under concurrent load this multiplies requests/sec at
-  ~one batch of added latency. Streaming requests bypass batching (their
-  latency target is time-to-first-audio, not throughput).
+  --batch_window_ms collection window after the first request). Measured
+  batch scaling on one chip (BENCH_B sweep of bench.py, 2026-08-19,
+  trained weights, real transcripts): 387x real time at B=1, 854x at
+  B=16 (2.2x), 1651x at B=128 (4.3x), so under concurrent load batching
+  multiplies requests/sec at ~one batch of added latency. The measured
+  serving effect is in tools/loadtest_serve.py: 33.0 req/s p50 393 ms
+  batched vs 8.1 req/s p50 1840 ms solo. Streaming requests bypass
+  batching (their latency target is time-to-first-audio, not
+  throughput).
 
 Endpoints:
   GET  /healthz          -> {"ok": true, ...}

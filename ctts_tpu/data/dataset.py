@@ -79,6 +79,11 @@ class Dataset:
         self.energy_level_tag, _ = get_variance_level(preprocess_config,
                                                       model_config)
         self.pitch_type = preprocess_config["preprocessing"]["pitch"]["pitch_type"]
+        # train.on_device_prior: the jitted step computes the beta-binomial
+        # prior from (mel_lens, src_lens) on device (ops/attn_prior.py), so
+        # skip both the attn_prior .npy load and its 4.7 MB/batch transfer
+        self.on_device_prior = bool(train_config.get("on_device_prior",
+                                                     False))
         self.sort = sort
         self.drop_last = drop_last
         self.bucket_src = bucket_src
@@ -130,9 +135,11 @@ class Dataset:
                          f"{speaker}-energy-{basename}.npy"),
         ]
         if self.learn_alignment:
-            keys.append("attn_prior")
-            paths.append(os.path.join(
-                pp, "attn_prior", f"{speaker}-attn_prior-{basename}.npy"))
+            if not self.on_device_prior:
+                keys.append("attn_prior")
+                paths.append(os.path.join(
+                    pp, "attn_prior",
+                    f"{speaker}-attn_prior-{basename}.npy"))
         else:
             keys += ["duration", "mel2ph"]
             paths += [os.path.join(pp, "duration",
@@ -239,14 +246,17 @@ class Dataset:
             "spker_embeds": None,
         }
         if self.learn_alignment:
-            priors = np.zeros((B, T_m, T_s), np.float32)
-            for b, s in enumerate(samples):
-                p = s["attn_prior"]          # stored [T_s, T_m] or [T_m, T_s]
-                if p.shape[0] == len(s["text"]):
-                    p = p.T
-                m, t = min(p.shape[0], T_m), min(p.shape[1], T_s)
-                priors[b, :m, :t] = p[:m, :t]
-            batch["attn_priors"] = priors
+            # on_device_prior leaves attn_priors None: the jitted step
+            # computes it from (mel_lens, src_lens) (ops/attn_prior.py)
+            if not self.on_device_prior:
+                priors = np.zeros((B, T_m, T_s), np.float32)
+                for b, s in enumerate(samples):
+                    p = s["attn_prior"]      # stored [T_s,T_m] or [T_m,T_s]
+                    if p.shape[0] == len(s["text"]):
+                        p = p.T
+                    m, t = min(p.shape[0], T_m), min(p.shape[1], T_s)
+                    priors[b, :m, :t] = p[:m, :t]
+                batch["attn_priors"] = priors
         else:
             batch["durations"] = pad1("duration", np.int32, T=T_s)
             pitch_data["mel2ph"] = pad1("mel2ph", np.int32)

@@ -18,6 +18,11 @@ def tiny_configs(block_type="transformer_fs2", pitch_type="cwt",
 
     model["block_type"] = block_type
     model["compute_dtype"] = "float32"     # CPU tests
+    # keep the legacy ship-the-prior loader path under test (production
+    # configs default to on_device_prior; tests/test_attn_prior.py and
+    # tests/test_real_speech.py cover the on-device path explicitly)
+    train["on_device_prior"] = False
+    train["transfer_dtype"] = "float32"
     model["duration_modeling"]["learn_alignment"] = learn_alignment
     model["prosody_modeling"]["model_type"] = prosody
     model["multi_speaker"] = multi_speaker

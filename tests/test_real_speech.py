@@ -156,6 +156,14 @@ def test_metadata_round_trip_through_loader(lj_micro):
     assert batch["texts"].shape[0] == 2
     assert (batch["src_lens"] > 10).all()
     assert np.isfinite(batch["mels"]).all()
-    # attn priors shaped to the real token/frame counts
-    B, T_m, T_s = batch["attn_priors"].shape
+    # production config runs with on_device_prior: the loader ships no
+    # prior; prep_batch (the jitted step's input tail) must fill one
+    # shaped to the real token/frame counts
+    assert batch["attn_priors"] is None
+    from ctts_tpu.parallel.train_step import prep_batch
+    prepped = prep_batch({k: v for k, v in batch.items()
+                          if k not in ("ids", "raw_texts")},
+                         pre, "train_unsup")
+    B, T_m, T_s = prepped["attn_priors"].shape
     assert T_m >= batch["mel_lens"].max() and T_s >= batch["src_lens"].max()
+    assert np.isfinite(np.asarray(prepped["attn_priors"])).all()

@@ -291,7 +291,13 @@ def _train_setup(name, batch_size=4):
 
     ds = Dataset("train_unsup.txt", pre, mod, tr, sort=True, drop_last=False)
     raw_batches = list(ds.batches(group_size=1, shuffle=False))
-    batches = [{k: v for k, v in b.items() if k not in ("ids", "raw_texts")}
+    from ctts_tpu.parallel.train_step import prep_batch
+    # fills the beta-binomial prior when the production config runs with
+    # train.on_device_prior (eagerly, once per micro-corpus batch — the
+    # training loop itself reuses these device batches)
+    batches = [prep_batch({k: v for k, v in b.items()
+                           if k not in ("ids", "raw_texts")},
+                          pre, "train_unsup")
                for b in raw_batches]
     assert batches, f"no training batches in the {name} micro-corpus"
 

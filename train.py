@@ -55,7 +55,8 @@ def main():
     from ctts_tpu.parallel.mesh import (make_mesh, shard_batch, shard_params,
                                         check_tp_coverage)
     from ctts_tpu.parallel.train_step import (create_train_state,
-                                              make_eval_step, make_train_step)
+                                              make_eval_step, make_train_step,
+                                              prep_batch)
     from ctts_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
     from ctts_tpu.utils.logging import Logger
     from ctts_tpu.utils.optimizer import build_optimizer
@@ -83,6 +84,9 @@ def main():
 
     # init from the first batch's shapes
     first = next(train_set.batches(shuffle=False))
+    # fills the on-device beta-binomial prior when the loader skips it
+    # (train.on_device_prior) — init needs real kwargs shapes
+    first = prep_batch(first, preprocess_config, mode)
     init_kwargs = _model_kwargs(first, mode)
     variables = model.init({"params": jax.random.PRNGKey(
         train_config["seed"])}, **init_kwargs, step=jnp.zeros((), jnp.int32),
@@ -108,6 +112,36 @@ def main():
         eval_step = make_eval_step(model, preprocess_config, model_config,
                                    train_config, mode)
 
+        # device-resident corpus cache (train.device_cache_mb): when the
+        # preprocessed store fits the budget, upload it once and gather
+        # batches on device by index — per-step H2D drops to a [B] int32
+        # vector and the loop runs at bare-jitted-step speed regardless of
+        # host-link bandwidth (ctts_tpu/data/device_cache.py)
+        cache = None
+        cache_budget = int(train_config.get("device_cache_mb", 0) or 0)
+        if (cache_budget > 0 and jax.process_count() == 1
+                and (not learn_alignment
+                     or train_config.get("on_device_prior", False))):
+            from ctts_tpu.data.device_cache import DeviceCache
+            dc = DeviceCache(train_set,
+                             train_config.get("transfer_dtype", "float32"))
+            if dc.nbytes <= cache_budget * 2**20:
+                dc.put()
+                cache = dc
+                from ctts_tpu.parallel.train_step import (
+                    make_cached_train_step)
+                cached_step = make_cached_train_step(
+                    model, tx, preprocess_config, model_config,
+                    train_config, mode,
+                    energy_on_src=train_set.energy_level_tag == "phone",
+                    mesh=mesh)
+                print(f"device cache: {len(train_set)} utterances, "
+                      f"{dc.nbytes / 2**20:.0f} MiB resident in HBM")
+            else:
+                print(f"device cache skipped: store "
+                      f"{dc.nbytes / 2**20:.0f} MiB > budget "
+                      f"{cache_budget} MiB — streaming loader")
+
         log_path = train_config["path"]["log_path"]
         train_logger = Logger(log_path, "train")
         val_logger = Logger(log_path, "val")
@@ -132,21 +166,44 @@ def main():
         epoch = 0
         t_last = time.time()
         done = False
+        # train.transfer_dtype: float16 halves the host->device bytes of
+        # every float32 batch field (the jitted step upcasts on device —
+        # prep_batch in parallel/train_step.py); the cast runs on the
+        # prefetch thread so it overlaps device execution
+        transfer_dtype = train_config.get("transfer_dtype", "float32")
+        compress = (_compress_f16 if transfer_dtype == "float16"
+                    else (lambda b: b))
         while not done:
             from ctts_tpu.data.dataset import prefetch_iter
             # per-host sharding (DistributedSampler equivalent,
             # reference train.py:44)
-            for batch in prefetch_iter(
-                    train_set.batches(epoch=epoch,
-                                      seed=train_config["seed"],
-                                      num_shards=jax.process_count(),
-                                      shard=jax.process_index())):
-                raw_batch = batch
-                batch = shard_batch(_device_batch(batch), mesh)
+            if cache is not None:
+                batch_iter = cache.index_batches(
+                    epoch=epoch, seed=train_config["seed"],
+                    num_shards=jax.process_count(),
+                    shard=jax.process_index())
+            else:
+                batch_iter = prefetch_iter(
+                    map(compress,
+                        train_set.batches(epoch=epoch,
+                                          seed=train_config["seed"],
+                                          num_shards=jax.process_count(),
+                                          shard=jax.process_index())))
+            for batch in batch_iter:
+                if cache is not None:
+                    idx, T_s, T_m = batch
+                    raw_batch, batch = None, None
+                else:
+                    raw_batch = batch
+                    batch = shard_batch(_device_batch(batch), mesh)
                 if profile_range and step + 1 == profile_range[0]:
                     jax.profiler.start_trace(
                         os.path.join(log_path, "profile"))
-                state, metrics = train_step(state, batch, rng)
+                if cache is not None:
+                    state, metrics = cached_step(state, cache.arrays, idx,
+                                                 rng, T_s, T_m)
+                else:
+                    state, metrics = train_step(state, batch, rng)
                 step += 1
                 if profile_range and step == profile_range[1]:
                     jax.block_until_ready(metrics["total"])
@@ -164,6 +221,12 @@ def main():
                           f"{dt*1000:.0f}ms/step")
 
                 if step % synth_step == 0:
+                    if cache is not None:
+                        # materialize this index-batch through the normal
+                        # host collate (rare: synth_step cadence only)
+                        raw_batch = train_set.collate(
+                            [train_set[int(i)] for i in idx])
+                        batch = shard_batch(_device_batch(raw_batch), mesh)
                     _synth_preview(eval_step, state, batch, raw_batch,
                                    vocoder, preprocess_config, model_config,
                                    train_logger, step)
@@ -217,6 +280,22 @@ def _device_batch(batch):
     return {k: v for k, v in batch.items() if k not in ("ids", "raw_texts")}
 
 
+def _compress_f16(batch):
+    """Half-precision transfer cast (train.transfer_dtype: float16), run on
+    the prefetch thread. The device upcasts back to f32 inside the jitted
+    step (prep_batch); log-mel quantization at f16 is ~1e-3 absolute —
+    far below training noise — and it halves the per-step H2D bytes."""
+    out = dict(batch)
+    for k, v in out.items():
+        if k == "pitch_data" and isinstance(v, dict):
+            out[k] = {pk: (pv.astype(np.float16)
+                           if getattr(pv, "dtype", None) == np.float32
+                           else pv) for pk, pv in v.items()}
+        elif getattr(v, "dtype", None) == np.float32:
+            out[k] = v.astype(np.float16)
+    return out
+
+
 def _synth_preview(eval_step, state, batch, raw_batch, vocoder,
                    preprocess_config, model_config, logger, step):
     """One training sample: the reference's full debugging surface —
@@ -227,8 +306,13 @@ def _synth_preview(eval_step, state, batch, raw_batch, vocoder,
     try:
         from ctts_tpu.utils.figures import synth_sample_figures
         from ctts_tpu.utils.model import vocoder_infer
+        from ctts_tpu.parallel.train_step import prep_batch
         import matplotlib.pyplot as plt
 
+        if batch.get("attn_priors") is None and batch.get("durations") is None:
+            # on_device_prior mode: materialize the prior once so the
+            # soft/hard/prior attention trio keeps its prior panel
+            batch = prep_batch(batch, preprocess_config, "train_unsup")
         comps, out = eval_step(state, batch)
         i = 0
         mel_len = int(np.asarray(out["mel_lens"])[i])

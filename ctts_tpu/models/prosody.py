@@ -30,6 +30,40 @@ from ctts_tpu.models.blocks import ConvNorm
 # GRU helpers
 # --------------------------------------------------------------------- #
 
+class _GRUCellT(nn.Module):
+    """GRU cell with torch nn.GRU/GRUCell semantics and weight layout.
+
+    torch computes n = tanh(W_in x + b_in + r * (W_hn h + b_hn)) — the
+    hidden bias sits INSIDE the reset-gate product, which flax's GRUCell
+    (no hidden bias on n) cannot represent, so reference checkpoints could
+    not be ported onto it. Params: wi [in, 3H], wh [H, 3H], bi/bh [3H],
+    gate order (r, z, n) — the transpose of torch's weight_ih/weight_hh/
+    bias_ih/bias_hh, imported 1:1 by utils/torch_import.py:_gru.
+    Init matches torch's uniform(-1/sqrt(H), 1/sqrt(H)).
+    """
+    hidden: int
+
+    @nn.compact
+    def __call__(self, h, x):
+        H = self.hidden
+        k = 1.0 / math.sqrt(H)
+
+        def uinit(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32, -k, k)
+
+        wi = self.param("wi", uinit, (x.shape[-1], 3 * H))
+        wh = self.param("wh", uinit, (H, 3 * H))
+        bi = self.param("bi", uinit, (3 * H,))
+        bh = self.param("bh", uinit, (3 * H,))
+        i_r, i_z, i_n = jnp.split(x @ wi + bi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(h @ wh + bh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+
 class _ResetGRUCell(nn.Module):
     """GRUCell whose state zeroes where the per-step reset flag is True."""
     hidden: int
@@ -38,8 +72,7 @@ class _ResetGRUCell(nn.Module):
     def __call__(self, h, inputs):
         x_t, r_t = inputs
         h = jnp.where(r_t[:, None], 0.0, h)
-        h, out = nn.GRUCell(self.hidden, param_dtype=jnp.float32)(h, x_t)
-        return h, out
+        return _GRUCellT(self.hidden, name="gru")(h, x_t)
 
 
 class SegmentResetGRU(nn.Module):
@@ -102,20 +135,31 @@ class GRU(nn.Module):
 # --------------------------------------------------------------------- #
 
 class _ConvBlock2DMel(nn.Module):
-    """(1, k) 2-D conv over (time, mel) — time-independent
-    (blocks.py:213-252 with kernel (1, k))."""
+    """(1, k) 2-D conv + BatchNorm + ReLU over (time, mel) —
+    time-independent (reference ConvBlock2D, blocks.py:213-252, with
+    kernel (1, k), bias-free conv, BatchNorm2d default normalization).
+
+    Because the kernel never mixes across time, running it on the whole
+    mel equals running it per phone-slice — EXCEPT BatchNorm train-mode
+    statistics: the reference computes them per (B=1, slice) call
+    (modules.py:186-201), i.e. per-phone batch stats, often over a
+    single frame. Here train-mode stats pool the whole padded batch (the
+    sane redesign); eval mode (running stats) is exactly the reference
+    and is what tests/test_parity_prosody.py pins with ported weights.
+    """
     out_channels: int
     kernel_size: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, training=False):
         # x: [B, T, n_mel, C_in]
         x = nn.Conv(self.out_channels, (1, self.kernel_size),
                     padding=[(0, 0), ((self.kernel_size - 1) // 2,
                                       self.kernel_size // 2)],
                     use_bias=False, param_dtype=jnp.float32,
                     kernel_init=nn.initializers.xavier_uniform())(x)
-        x = nn.LayerNorm(param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not training,
+                         param_dtype=jnp.float32)(x)
         return nn.relu(x)
 
 
@@ -127,12 +171,15 @@ class DuProsodyExtractor(nn.Module):
     kernel_size: int
 
     @nn.compact
-    def __call__(self, mel, mel_len, duration, src_mask, max_mel_len):
+    def __call__(self, mel, mel_len, duration, src_mask, max_mel_len,
+                 training=False):
         from ctts_tpu.ops.length_regulator import dur_to_mel2ph
         B, T_m, _ = mel.shape
         x = mel[..., None]                              # [B, T, mel, 1]
-        x = _ConvBlock2DMel(self.d_model, self.kernel_size)(x)
-        x = _ConvBlock2DMel(1, self.kernel_size)(x)[..., 0]   # [B, T, mel]
+        x = _ConvBlock2DMel(self.d_model, self.kernel_size,
+                            name="conv_0")(x, training)
+        x = _ConvBlock2DMel(1, self.kernel_size,
+                            name="conv_1")(x, training)[..., 0]  # [B,T,mel]
 
         mel2ph = dur_to_mel2ph(duration, src_mask, max_len=T_m)
         prev = jnp.concatenate([jnp.zeros_like(mel2ph[:, :1]),
@@ -185,8 +232,7 @@ class _ARGRUCell(nn.Module):
     @nn.compact
     def __call__(self, h, x_t):
         inp = jnp.concatenate([x_t, h], axis=-1)
-        h, out = nn.GRUCell(self.hidden, param_dtype=jnp.float32)(h, inp)
-        return h, out
+        return _GRUCellT(self.hidden, name="gru")(h, inp)
 
 
 class MDN(nn.Module):
@@ -266,14 +312,19 @@ class CoordConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: [B, H, W, C]
+        # x: [B, H, W, C]. Channel order and values match the reference
+        # AddCoords rank-2 with_r: first the H-coordinate ("xx" there),
+        # then the W-coordinate ("yy"), both normalized to [-1, 1], and
+        # rr = sqrt((h-0.5)^2 + (w-0.5)^2) AFTER that normalization
+        # (coordconv.py:35-73 — the -0.5 offset is the reference's quirk,
+        # kept so conv weights port 1:1).
         B, H, W, _ = x.shape
-        ys = jnp.linspace(-1.0, 1.0, H)[None, :, None, None]
-        xs = jnp.linspace(-1.0, 1.0, W)[None, None, :, None]
-        yy = jnp.broadcast_to(ys, (B, H, W, 1))
-        xx = jnp.broadcast_to(xs, (B, H, W, 1))
-        rr = jnp.sqrt(xx ** 2 + yy ** 2)
-        x = jnp.concatenate([x, xx, yy, rr], axis=-1)
+        hs = jnp.linspace(-1.0, 1.0, H)[None, :, None, None]
+        ws = jnp.linspace(-1.0, 1.0, W)[None, None, :, None]
+        hh = jnp.broadcast_to(hs, (B, H, W, 1))
+        ww = jnp.broadcast_to(ws, (B, H, W, 1))
+        rr = jnp.sqrt((hh - 0.5) ** 2 + (ww - 0.5) ** 2)
+        x = jnp.concatenate([x, hh, ww, rr], axis=-1)
         return nn.Conv(self.features, self.kernel_size,
                        strides=self.strides,
                        padding=[(self.padding[0],) * 2,
@@ -311,7 +362,10 @@ class ReferenceEncoder(nn.Module):
                                name=f"bn_{i}")(out)
             out = nn.relu(out)
         B, T, W, C = out.shape
-        out = out.reshape(B, T, W * C)
+        # flatten (C, W) — the reference's [N, C, T, W].transpose(1,2)
+        # .view(N, T, C*W) order (modules.py:383-386), so GRU input
+        # weights port 1:1
+        out = out.transpose(0, 1, 3, 2).reshape(B, T, C * W)
         if mel_mask is not None:
             out = jnp.where(mel_mask[..., None], 0.0, out)
         lengths = None
@@ -364,9 +418,12 @@ class UtteranceLevelProsodyEncoder(nn.Module):
     def __call__(self, mels, mel_mask, training=True, deterministic=True):
         liu = self.model_config["prosody_modeling"]["liu2021"]
         E = _enc_hidden(self.model_config)
+        # ReferenceEncoder's `training` flag is its BN mode — follow
+        # `deterministic` (postnet convention), not the branch flag
         _, final = ReferenceEncoder(self.preprocess_config,
                                     self.model_config,
-                                    name="encoder")(mels, mel_mask, training)
+                                    name="encoder")(mels, mel_mask,
+                                                    not deterministic)
         x = nn.Dense(E // 2, name="encoder_prj")(final)
         x = STL(self.model_config, name="stl")(x)
         x = nn.Dense(liu["bottleneck_size_u"], name="encoder_bottleneck")(x)
@@ -386,7 +443,8 @@ class PhonemeLevelProsodyEncoder(nn.Module):
         E = _enc_hidden(self.model_config)
         memory, _ = ReferenceEncoder(self.preprocess_config,
                                      self.model_config,
-                                     name="encoder")(mels, mel_mask, training)
+                                     name="encoder")(mels, mel_mask,
+                                                     not deterministic)
         kv = nn.Dense(2 * E, name="encoder_prj")(memory)
         k, v = kv[..., :E], kv[..., E:]
         init = nn.initializers.xavier_uniform()

@@ -180,8 +180,11 @@ class VarianceAdaptor(nn.Module):
                 x_text, src_mask, deterministic=deterministic,
                 training=training)
             if training:
+                # BN mode follows `deterministic` (postnet convention):
+                # batch stats while optimizing, running stats at eval
                 prosody_embeddings = self.prosody_extractor(
-                    mel, mel_len, duration_target, src_mask, max_mel_len)
+                    mel, mel_len, duration_target, src_mask, max_mel_len,
+                    training=not deterministic)
             else:
                 prosody_embeddings = DuProsodyPredictor.sample(
                     w, sigma, mu, rng, src_mask)

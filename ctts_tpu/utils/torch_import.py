@@ -415,6 +415,21 @@ def import_reference_checkpoint(state_dict, preprocess_config, model_config):
             al["query_spk_proj"] = {"kernel": _dense(
                 sd["variance_adaptor.aligner.query_spk_proj.linear.weight"])}
         va["aligner"] = al
+
+    # ---- prosody modeling (ref modules.py:830-861) ----
+    prosody_type = model_config["prosody_modeling"]["model_type"]
+    if prosody_type == "du2021":
+        p, s = import_du_extractor(sd, "variance_adaptor.prosody_extractor.")
+        va["prosody_extractor"] = p
+        stats.setdefault("variance_adaptor", {})["prosody_extractor"] = s
+        va["prosody_predictor"] = import_du_predictor(
+            sd, "variance_adaptor.prosody_predictor.")
+        va["prosody_linear"] = {"kernel": _dense(
+            sd["variance_adaptor.prosody_linear.linear.weight"])}
+    elif prosody_type == "liu2021":
+        p, s = import_liu_prosody(sd, "variance_adaptor.")
+        va["liu_prosody"] = p
+        stats.setdefault("variance_adaptor", {})["liu_prosody"] = s
     params["variance_adaptor"] = va
 
     if model_config["multi_speaker"] and "speaker_emb.weight" in sd:
@@ -426,3 +441,172 @@ def import_reference_checkpoint(state_dict, preprocess_config, model_config):
                                      "bias": _t(sd["speaker_emb.bias"])}
 
     return {"params": params, "batch_stats": stats}
+
+
+# ---- prosody modules (ref model/modules.py:151-723) --------------------- #
+
+def _conv2d(w):            # torch [out, in, kh, kw] → flax [kh, kw, in, out]
+    return _t(w).transpose(2, 3, 1, 0)
+
+
+def _gru(sd, prefix, suffix="_l0"):
+    """torch nn.GRU / nn.GRUCell weights → _GRUCellT params (prosody.py).
+
+    Both share the (r|z|n)-stacked layout; _GRUCellT keeps torch's
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn)) semantics exactly.
+    """
+    return {"wi": _dense(sd[f"{prefix}.weight_ih{suffix}"]),
+            "wh": _dense(sd[f"{prefix}.weight_hh{suffix}"]),
+            "bi": _t(sd[f"{prefix}.bias_ih{suffix}"]),
+            "bh": _t(sd[f"{prefix}.bias_hh{suffix}"])}
+
+
+def _bn(sd, prefix):
+    return ({"scale": _t(sd[f"{prefix}.weight"]),
+             "bias": _t(sd[f"{prefix}.bias"])},
+            {"mean": _t(sd[f"{prefix}.running_mean"]),
+             "var": _t(sd[f"{prefix}.running_var"])})
+
+
+def import_du_extractor(sd, prefix=""):
+    """ref ProsodyExtractor (modules.py:151-201) → DuProsodyExtractor.
+    Returns (params, batch_stats)."""
+    p, s = {}, {}
+    for i in (0, 1):
+        cp = f"{prefix}conv_stack.{i}.conv_layer"
+        scale_bias, mean_var = _bn(sd, f"{cp}.1")
+        p[f"conv_{i}"] = {
+            "Conv_0": {"kernel": _conv2d(sd[f"{cp}.0.conv.weight"])},
+            "BatchNorm_0": scale_bias}
+        s[f"conv_{i}"] = {"BatchNorm_0": mean_var}
+    p["gru_fwd"] = {"cell": {"gru": _gru(sd, f"{prefix}gru")}}
+    p["gru_bwd"] = {"cell": {"gru": _gru(sd, f"{prefix}gru", "_l0_reverse")}}
+    return p, s
+
+
+def import_du_predictor(sd, prefix=""):
+    """ref ProsodyPredictor (modules.py:235-329) → DuProsodyPredictor."""
+    p = {}
+    for i in (0, 1):
+        cp = f"{prefix}conv_stack.{i}.conv_layer"
+        p[f"conv_{i}"] = {
+            "ConvNorm_0": {"Conv_0": {
+                "kernel": _conv(sd[f"{cp}.0.conv.weight"]),
+                "bias": _t(sd[f"{cp}.0.conv.bias"])}},
+            "LayerNorm_0": _ln(sd, f"{cp}.1")}
+    p["gru_cell"] = {"gru": _gru(sd, f"{prefix}gru_cell", "")}
+    p["gmm_mdn"] = {
+        "w": {"kernel": _dense(sd[f"{prefix}gmm_mdn.w.0.weight"]),
+              "bias": _t(sd[f"{prefix}gmm_mdn.w.0.bias"])},
+        "sigma": {"kernel": _dense(sd[f"{prefix}gmm_mdn.sigma.weight"]),
+                  "bias": _t(sd[f"{prefix}gmm_mdn.sigma.bias"])},
+        "mu": {"kernel": _dense(sd[f"{prefix}gmm_mdn.mu.weight"]),
+               "bias": _t(sd[f"{prefix}gmm_mdn.mu.bias"])},
+    }
+    return p
+
+
+def import_ref_encoder(sd, prefix, n_filters):
+    """ref ReferenceEncoder (modules.py:332-397) → ReferenceEncoder.
+    Returns (params, batch_stats). conv 0 is the CoordConv2d (its USED
+    kernel lives at convs.0.conv.*; the Conv2d-inherited convs.0.weight
+    is dead weight in the reference)."""
+    p, s = {}, {}
+    p["conv_0"] = {"Conv_0": {
+        "kernel": _conv2d(sd[f"{prefix}convs.0.conv.weight"]),
+        "bias": _t(sd[f"{prefix}convs.0.conv.bias"])}}
+    for i in range(1, n_filters):
+        p[f"conv_{i}"] = {"kernel": _conv2d(sd[f"{prefix}convs.{i}.weight"]),
+                          "bias": _t(sd[f"{prefix}convs.{i}.bias"])}
+    for i in range(n_filters):
+        scale_bias, mean_var = _bn(sd, f"{prefix}bns.{i}")
+        p[f"bn_{i}"] = scale_bias
+        s[f"bn_{i}"] = mean_var
+    p["gru"] = {"fwd": {"cell": {"gru": _gru(sd, f"{prefix}gru")}}}
+    return p, s
+
+
+def _bi_gru(sd, prefix):
+    return {"fwd": {"cell": {"gru": _gru(sd, prefix)}},
+            "bwd": {"cell": {"gru": _gru(sd, prefix, "_l0_reverse")}}}
+
+
+def _linear(sd, prefix, bias=True):
+    out = {"kernel": _dense(sd[f"{prefix}.weight"])}
+    if bias:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def import_utterance_encoder(sd, prefix, n_filters):
+    """ref UtteranceLevelProsodyEncoder (modules.py:537-569)."""
+    enc_p, enc_s = import_ref_encoder(sd, f"{prefix}encoder.", n_filters)
+    p = {
+        "encoder": enc_p,
+        "encoder_prj": _linear(sd, f"{prefix}encoder_prj"),
+        "stl": {
+            "embed": _t(sd[f"{prefix}stl.embed"]),
+            "attention": {
+                "W_query": {"kernel": _dense(
+                    sd[f"{prefix}stl.attention.W_query.weight"])},
+                "W_key": {"kernel": _dense(
+                    sd[f"{prefix}stl.attention.W_key.weight"])},
+                "W_value": {"kernel": _dense(
+                    sd[f"{prefix}stl.attention.W_value.weight"])},
+            },
+        },
+        "encoder_bottleneck": _linear(sd, f"{prefix}encoder_bottleneck"),
+    }
+    return p, {"encoder": enc_s}
+
+
+def import_phoneme_encoder(sd, prefix, n_filters):
+    """ref PhonemeLevelProsodyEncoder (modules.py:400-450)."""
+    enc_p, enc_s = import_ref_encoder(sd, f"{prefix}encoder.", n_filters)
+    p = {
+        "encoder": enc_p,
+        "encoder_prj": _linear(sd, f"{prefix}encoder_prj"),
+        "q_lin": {"kernel": _dense(sd[f"{prefix}linears.0.linear.weight"])},
+        "k_lin": {"kernel": _dense(sd[f"{prefix}linears.1.linear.weight"])},
+        "encoder_bottleneck": _linear(sd, f"{prefix}encoder_bottleneck"),
+    }
+    return p, {"encoder": enc_s}
+
+
+def import_parallel_predictor(sd, prefix=""):
+    """ref ParallelProsodyPredictor (modules.py:572-648)."""
+    return {
+        "conv1d_1": {"Conv_0": _linear(sd, f"{prefix}conv_layer.conv1d_1.conv")
+                     | {"kernel": _conv(
+                         sd[f"{prefix}conv_layer.conv1d_1.conv.weight"])}},
+        "conv1d_2": {"Conv_0": _linear(sd, f"{prefix}conv_layer.conv1d_2.conv")
+                     | {"kernel": _conv(
+                         sd[f"{prefix}conv_layer.conv1d_2.conv.weight"])}},
+        "LayerNorm_0": _ln(sd, f"{prefix}conv_layer.layer_norm_1"),
+        "LayerNorm_1": _ln(sd, f"{prefix}conv_layer.layer_norm_2"),
+        "gru": _bi_gru(sd, f"{prefix}gru"),
+        "predictor_bottleneck": _linear(sd, f"{prefix}predictor_bottleneck"),
+    }
+
+
+def import_liu_prosody(sd, prefix, n_filters=6):
+    """The four liu2021 modules + projections, wired as LiuProsody
+    (ref modules.py:845-861 hangs them directly on the VarianceAdaptor).
+    Returns (params, batch_stats)."""
+    up_p, up_s = import_utterance_encoder(
+        sd, f"{prefix}utterance_prosody_encoder.", n_filters)
+    pp_p, pp_s = import_phoneme_encoder(
+        sd, f"{prefix}phoneme_prosody_encoder.", n_filters)
+    p = {
+        "utterance_prosody_encoder": up_p,
+        "phoneme_prosody_encoder": pp_p,
+        "utterance_prosody_predictor": import_parallel_predictor(
+            sd, f"{prefix}utterance_prosody_predictor."),
+        "phoneme_prosody_predictor": import_parallel_predictor(
+            sd, f"{prefix}phoneme_prosody_predictor."),
+        "utterance_prosody_prj": _linear(sd, f"{prefix}utterance_prosody_prj"),
+        "phoneme_prosody_prj": _linear(sd, f"{prefix}phoneme_prosody_prj"),
+    }
+    s = {"utterance_prosody_encoder": up_s,
+         "phoneme_prosody_encoder": pp_s}
+    return p, s

@@ -84,11 +84,18 @@ def make_chunked_vocoder(apply_fn, variables, chunk=64, halo=RF_MEL,
         wav = apply_fn(variables, mel_win)
         return jax.lax.dynamic_slice_in_dim(wav, crop, chunk * hop, axis=1)
 
+    # short-utterance full pass, jitted: eager apply here would be the
+    # exact op-by-op dispatch class measured at ~100x through the TPU
+    # tunnel (CLAUDE.md TIMING TRAP #4). jit caches per mel length, and
+    # the stream closure itself is memoized per (model, variables) in
+    # utils/model.py _STREAM_JIT, so the cache persists across requests.
+    _vocode_full = jax.jit(lambda m: apply_fn(variables, m))
+
     def stream(mel):
         T = mel.shape[1]
         if T < window:
             # short utterance: one full pass is already "streamed"
-            yield np.asarray(apply_fn(variables, mel))
+            yield np.asarray(_vocode_full(jnp.asarray(mel)))
             return
         # window extraction on HOST: the serving path's mel is already
         # host-resident, and numpy slices cost nothing; each window then

@@ -125,7 +125,9 @@ def test_cached_step_under_mesh(tmp_path):
     ds = Dataset("train_unsup.txt", pre, mod, tr, sort=True, drop_last=True,
                  bucket_src=8, bucket_mel=16)
     dc = DeviceCache(ds, transfer_dtype="float16")
-    mesh = make_mesh(4, 1)
+    # explicit 4-device subset: the suite runs with 8 virtual devices, and
+    # make_mesh(4, 1) over all of them trips the data*model == n assert
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
     with mesh:
         dc.put()
         batch = next(ds.batches(shuffle=False))

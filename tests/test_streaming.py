@@ -131,5 +131,8 @@ def test_chunked_vocoder_short_utterance_fallback():
     mel = jnp.asarray(rng.randn(1, 32, 80).astype(np.float32))
     stream = make_chunked_vocoder(gen.apply, var, chunk=32, halo=16)
     (only,) = list(stream(mel))
-    np.testing.assert_array_equal(np.asarray(only),
-                                  np.asarray(gen.apply(var, mel)))
+    # the short path is JITTED (eager apply through the TPU tunnel is the
+    # ~100x op-by-op dispatch class) — jit reassociates float sums vs the
+    # eager reference, so allow float32-epsilon noise, not bit-equality
+    np.testing.assert_allclose(np.asarray(only),
+                               np.asarray(gen.apply(var, mel)), atol=2e-6)

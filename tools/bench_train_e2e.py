@@ -142,7 +142,7 @@ def jitted_comparator(cfg_dir, warm, total_steps, seed):
     from ctts_tpu.models.comp_trans_tts import (CompTransTTS,
                                                 prepare_model_config)
     from ctts_tpu.parallel.train_step import (create_train_state,
-                                              make_train_step)
+                                              make_train_step, prep_batch)
     from ctts_tpu.utils.optimizer import build_optimizer
 
     pre, mod, tr = get_configs_of(_DATASET, cfg_dir)
@@ -181,13 +181,18 @@ def jitted_comparator(cfg_dir, warm, total_steps, seed):
         dev = jax.device_put({k: v for k, v in batch.items()
                               if k not in ("ids", "raw_texts")})
         if state is None:
+            # model.init needs real kwargs shapes: prep_batch fills the
+            # on-device beta-binomial prior + upcasts f16 transfer arrays,
+            # exactly like _make_train_step_fn does inside the jitted step
+            # (the step_fn path below calls it traced)
+            first = prep_batch(dev, pre, "train_unsup")
             kwargs = dict(
-                speakers=dev["speakers"], texts=dev["texts"],
-                src_lens=dev["src_lens"], mode="train_unsup",
-                mels=dev["mels"], mel_lens=dev["mel_lens"],
-                pitch_targets=dev["pitch_data"],
-                energy_targets=dev["energies"],
-                attn_priors=dev["attn_priors"],
+                speakers=first["speakers"], texts=first["texts"],
+                src_lens=first["src_lens"], mode="train_unsup",
+                mels=first["mels"], mel_lens=first["mel_lens"],
+                pitch_targets=first["pitch_data"],
+                energy_targets=first["energies"],
+                attn_priors=first["attn_priors"],
                 step=jnp.zeros((), jnp.int32), deterministic=True)
             variables = model.init({"params": jax.random.PRNGKey(0)},
                                    **kwargs)

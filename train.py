@@ -183,8 +183,16 @@ def main():
                     num_shards=jax.process_count(),
                     shard=jax.process_index())
             else:
+                # double-buffered H2D: compress + device_put run on the
+                # prefetch thread, so batch N+1's transfer overlaps step N's
+                # device execution instead of blocking the dispatch loop
+                # (the per-step blocking device_put was the dominant e2e
+                # tax on slow host links — E2E_TRAIN_BENCH.json)
+                def _stage(b):
+                    b = compress(b)
+                    return b, shard_batch(_device_batch(b), mesh)
                 batch_iter = prefetch_iter(
-                    map(compress,
+                    map(_stage,
                         train_set.batches(epoch=epoch,
                                           seed=train_config["seed"],
                                           num_shards=jax.process_count(),
@@ -194,8 +202,7 @@ def main():
                     idx, T_s, T_m = batch
                     raw_batch, batch = None, None
                 else:
-                    raw_batch = batch
-                    batch = shard_batch(_device_batch(batch), mesh)
+                    raw_batch, batch = batch
                 if profile_range and step + 1 == profile_range[0]:
                     jax.profiler.start_trace(
                         os.path.join(log_path, "profile"))

@@ -37,6 +37,21 @@ def main():
     preprocess, model_cfg, train_cfg = get_configs_of("LJSpeech")
     model_cfg["block_type"] = os.environ.get("BENCH_BLOCK",
                                              "transformer_fs2")
+    # BENCH_PROSODY=du2021|liu2021 measures the prosody stacks' step cost
+    # (AR GRU scan over phones for du2021). Both are supervised-duration
+    # features (reference model.yaml:11,19), so the step flips to train_sup.
+    # BENCH_PROSODY=sup_none benches the supervised step WITHOUT prosody —
+    # the baseline the du2021/liu2021 rows are deltas against
+    prosody = os.environ.get("BENCH_PROSODY", "none")
+    mode = "train_unsup"
+    if prosody != "none":
+        if prosody != "sup_none":
+            model_cfg["prosody_modeling"]["model_type"] = prosody
+        model_cfg["duration_modeling"]["learn_alignment"] = False
+        # the synthetic energies below are frame-level; the shipped config
+        # would switch sup mode to phoneme-level energy ([B, T_s] targets)
+        preprocess["preprocessing"]["energy"]["feature"] = "frame_level"
+        mode = "train_sup"
     model_cfg = prepare_model_config(preprocess, model_cfg)
     model = CompTransTTS(preprocess, model_cfg, train_cfg)
 
@@ -64,19 +79,29 @@ def main():
             rng.rand(B, T_m, T_s).astype(np.float32) + 1e-3),
         "spker_embeds": None,
     }
+    if mode == "train_sup":
+        durations = np.vstack([
+            rng.multinomial(T_m - T_s, np.ones(T_s) / T_s) + 1
+            for _ in range(B)]).astype(np.int32)
+        batch["durations"] = jnp.asarray(durations)
+        batch["attn_priors"] = None
+        batch["pitch_data"]["mel2ph"] = jnp.asarray(np.vstack(
+            [np.repeat(np.arange(1, T_s + 1), d)[:T_m]
+             for d in durations]).astype(np.int32))
 
     kwargs = dict(
         speakers=batch["speakers"], texts=batch["texts"],
-        src_lens=batch["src_lens"], mode="train_unsup",
+        src_lens=batch["src_lens"], mode=mode,
         mels=batch["mels"], mel_lens=batch["mel_lens"],
         pitch_targets=batch["pitch_data"], energy_targets=batch["energies"],
+        duration_targets=batch["durations"],
         attn_priors=batch["attn_priors"],
         step=jnp.zeros((), jnp.int32), deterministic=True)
     variables = model.init({"params": jax.random.PRNGKey(0)}, **kwargs)
     tx, _ = build_optimizer(model_cfg, train_cfg)
     state = create_train_state(variables, tx)
     step_fn = make_train_step(model, tx, preprocess, model_cfg, train_cfg,
-                              "train_unsup", donate=False)
+                              mode, donate=False)
 
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     _ = float(metrics["total"])                     # compile + warmup
@@ -140,6 +165,9 @@ def main():
         "ms_std": round(float(np.std(dts)) * 1000, 3),
         "device_kind": kind,
     }
+    if prosody != "none":
+        out["prosody"] = prosody
+        out["mode"] = mode
     print(json.dumps(out))
 
 

@@ -8,11 +8,14 @@ against 16 GB on a v5e chip — the TPU-native input pipeline is to ship
 the WHOLE store once and reduce the per-step transfer to a [B] int32
 index vector: the jitted step gathers its batch rows from the cache and
 slices them to the bucket shape in-graph (one HBM->HBM DMA, ~microseconds).
-The host stays free for logging/checkpointing, and training throughput
-becomes identical to the bare jitted step regardless of host-link
-bandwidth (measured here: the tunneled dev chip sustains only ~30 MB/s of
-H2D, making the streaming loop 2-10x slower than the step; a production
-PCIe host narrows but never closes that gap).
+The host stays free for logging/checkpointing.
+
+MEASURED on the real chip (E2E_TRAIN_BENCH.json, tools/bench_train_e2e.py,
+172 real utterances, 1000 steps at batch 16): the full train.py loop runs
+at 29.2 +/- 0.4 ms/step vs a 27.3 ms weighted bare jitted step —
+e2e_over_jitted 1.07, where the streaming loader on the same tunneled
+~30 MB/s host link measured 10.4x in round 4. Enabled by
+train.device_cache_mb in the shipped configs.
 
 The reference has no analogue (its DataLoader re-collates and re-ships
 every batch, reference dataset.py:229-248 + train.py:93-110).

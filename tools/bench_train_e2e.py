@@ -92,10 +92,14 @@ def build_store(replicas):
     return len(new_lines)
 
 
-def write_config(total_steps, log_step):
+def write_config(total_steps, log_step, device_cache_mb=None):
     import yaml
     with open(os.path.join(_REPO, "configs", "LJSpeech.yaml")) as f:
         merged = yaml.safe_load(f)
+    if device_cache_mb is not None:
+        # --device_cache_mb 0 measures the STREAMING loader (double-
+        # buffered prefetch device_put) instead of the HBM corpus cache
+        merged["train"]["device_cache_mb"] = device_cache_mb
     merged["preprocess"]["path"]["raw_path"] = os.path.join(_OUT, "raw")
     merged["preprocess"]["path"]["preprocessed_path"] = os.path.join(
         _OUT, "preprocessed_data")
@@ -224,13 +228,17 @@ def main():
     ap.add_argument("--log_step", type=int, default=100)
     ap.add_argument("--replicas", type=int, default=43)
     ap.add_argument("--skip_comparator", action="store_true")
+    ap.add_argument("--device_cache_mb", type=int, default=None,
+                    help="override train.device_cache_mb (0 = measure the "
+                         "streaming loader); default: the shipped config")
+    ap.add_argument("--out_json", type=str, default="E2E_TRAIN_BENCH.json")
     args = ap.parse_args()
 
     total = args.warm + args.measure
     n = build_store(args.replicas)
     print(f"store: {n} real utterances (6 unique x {args.replicas})",
           flush=True)
-    cfg_dir = write_config(total, args.log_step)
+    cfg_dir = write_config(total, args.log_step, args.device_cache_mb)
 
     windows, wall, stdout = run_train(cfg_dir, total)
     measured = {s: ms for s, ms in windows.items() if s > args.warm}
@@ -260,7 +268,9 @@ def main():
         out["jitted_step_ms_weighted"] = round(jit_ms, 2)
         out["e2e_over_jitted"] = round(e2e_ms / jit_ms, 3)
         out["bucket_shapes_Ts_Tm_B"] = shapes
-    with open(os.path.join(_REPO, "E2E_TRAIN_BENCH.json"), "w") as f:
+    if args.device_cache_mb is not None:
+        out["device_cache_mb"] = args.device_cache_mb
+    with open(os.path.join(_REPO, args.out_json), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

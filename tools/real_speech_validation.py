@@ -261,8 +261,11 @@ def _alignment_metrics(model, variables, batch, step):
     return float(np.mean(mass)), float(np.mean(diag))
 
 
-def _train_setup(name, batch_size=4):
-    """Shared model/data/step setup for the real-speech training runs."""
+def _train_setup(name, batch_size=4, store=None):
+    """Shared model/data/step setup for the real-speech training runs.
+    `store` points the Dataset at a different preprocessed store (e.g. the
+    172-utterance replicated one from tools/bench_train_e2e.py) while the
+    configs/stats stay LJdemo's."""
     import jax
     if os.environ.get("CTTS_FORCE_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
@@ -279,6 +282,8 @@ def _train_setup(name, batch_size=4):
 
     spec = CORPORA[name]
     pre, mod, tr = _configs_for(name, spec)
+    if store is not None:
+        pre["path"]["preprocessed_path"] = store
     mod = prepare_model_config(pre, mod)
     tr["optimizer"]["batch_size"] = batch_size
     # micro-corpus: binarize + use hard durations from the start so the
@@ -439,6 +444,71 @@ def cmd_train(report, max_steps=None):
     if os.environ.get("RSV_PACK", "1") != "0":   # RSV_PACK=0: smoke runs
         _write_ckpt_manifest(name, setup, state, steps, hist)
     return ok and fid_ok
+
+
+def cmd_train172(max_steps=None):
+    """Fidelity-scaling run (VERDICT-r4 missing #3): plateau-train on the
+    172-utterance replicated real store (tools/bench_train_e2e.py's
+    builder — 6 unique LJSpeech utterances x 43, real mels through the
+    real loader) with batch 16 and a tighter plateau (1% over 2000-step
+    windows), then score fidelity on the 6 unique utterances and repack
+    assets/ljdemo_ckpt.npz. APPENDS §5 to REAL_SPEECH_VALIDATION.md
+    (does not regenerate §1-3)."""
+    import jax
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_train_e2e
+
+    max_steps = max_steps or int(os.environ.get("RSV172_MAX_STEPS", 30000))
+    n = bench_train_e2e.build_store(replicas=43)
+    store = os.path.join(bench_train_e2e._OUT, "preprocessed_data")
+    print(f"store: {n} utterances at {store}", flush=True)
+
+    setup = _train_setup("LJdemo", batch_size=16, store=store)
+    state, hist, wall, compile_s, steps = _run_training(
+        setup, max_steps, plateau_window=2000, plateau_tol=0.01,
+        min_steps=8000, log_every=100)
+    steady_ms = ((wall - (compile_s or 0.0)) / max(steps - 1, 1)) * 1000
+
+    # fidelity on the 6 UNIQUE utterances via the original LJdemo setup
+    # (same stats.json, so features are identical to the replicas)
+    fid_setup = _train_setup("LJdemo", batch_size=4)
+    report = ["\n## 5. Fidelity scaling: plateau training on the "
+              "172-utterance replicated store\n"]
+    report.append(
+        f"Same production unsup step, batch 16, {n} real utterances "
+        f"(6 unique x 43 — the container ships only 6 real LJSpeech wavs, "
+        f"so this scales STEPS-AT-BATCH-DIVERSITY, not acoustic variety), "
+        f"on `{jax.devices()[0].device_kind}`: stopped at step {steps} "
+        f"(plateau <1% mel gain over 2000-step windows, cap {max_steps}), "
+        f"{steady_ms:.1f} ms/step steady, wall {wall:.0f}s. Compare §2's "
+        f"6-utterance/batch-4 run (stopped 6000: teacher-forced mel L1 "
+        f"0.166, free-running MCD-DTW 15.11 dB).\n")
+    report.append("| step | total | ctc | bin | mel |")
+    report.append("|---|---|---|---|---|")
+    stride = max(len(hist) // 12, 1)
+    shown = hist[::stride]
+    if shown[-1] is not hist[-1]:
+        shown.append(hist[-1])
+    for s, tot, ctc, bl, mel in shown:
+        report.append(f"| {s} | {tot:.3f} | {ctc:.3f} | {bl:.3f} "
+                      f"| {mel:.3f} |")
+    report.append("")
+    fid_ok = _fidelity("LJdemo172", fid_setup, state, report)
+
+    # persist: orbax ckpt (bench.py default path) + packed npz + manifest
+    from ctts_tpu.utils.checkpoint import save_checkpoint
+    ckpt_dir = os.path.join(_OUT, "LJdemo", "ckpt")
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    save_checkpoint(ckpt_dir, jax.device_get(_vars_of(state)), steps)
+    print(f"checkpoint -> {ckpt_dir}", flush=True)
+    if os.environ.get("RSV_PACK", "1") != "0":
+        _write_ckpt_manifest("LJdemo", fid_setup, state, steps, hist)
+
+    with open(_REPORT, "a") as f:
+        f.write("\n".join(report) + "\n")
+    print(f"appended §5 -> {_REPORT}  fidelity="
+          f"{'PASS' if fid_ok else 'FAIL'}")
+    return fid_ok
 
 
 # --------------------------------------------------------------------- #
@@ -738,6 +808,9 @@ def cmd_vctk(report, steps=None):
 
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if what == "train172":
+        # standalone append-mode command (never rewrites §1-3)
+        sys.exit(0 if cmd_train172() else 1)
     report = [
         "# Real-speech validation",
         "",

@@ -87,8 +87,6 @@ def distill_durations():
     pre, mod, tr = rsv._configs_for("LJdemo", rsv.CORPORA["LJdemo"])
     mod = prepare_model_config(pre, mod)
     tr["optimizer"]["batch_size"] = 4
-    ds = Dataset("train_unsup.txt", pre, mod, tr, sort=False,
-                 drop_last=False)
     model = CompTransTTS(pre, mod, tr)
     restored, ck_step, src = _restore_trained()
     variables = jax.device_put({"params": restored["params"],
@@ -111,7 +109,9 @@ def distill_durations():
     os.makedirs(os.path.join(_STORE, "duration"), exist_ok=True)
     os.makedirs(os.path.join(_STORE, "mel2ph"), exist_ok=True)
     n = 0
-    for raw in ds.batches(group_size=1, shuffle=False):
+    for split in ("train_unsup.txt", "val_unsup.txt"):
+      ds = Dataset(split, pre, mod, tr, sort=False, drop_last=False)
+      for raw in ds.batches(group_size=1, shuffle=False):
         b = prep_batch({k: v for k, v in raw.items()
                         if k not in ("ids", "raw_texts")}, pre,
                        "train_unsup")
@@ -135,6 +135,17 @@ def distill_durations():
             np.save(os.path.join(_STORE, "mel2ph",
                                  f"{spk}-mel2ph-{base}.npy"), mel2ph)
             n += 1
+
+    # mirror the unsup stats under sup keys: features are hardlinked, so
+    # the normalisation constants are identical by construction
+    stats_path = os.path.join(_STORE, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    for k in list(stats):
+        if "unsup" in k:
+            stats.setdefault(k.replace("unsup", "sup"), stats[k])
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
 
     for src_d, dst_d in _SUP_LINK_DIRS:
         sdir = os.path.join(_STORE, src_d)

@@ -9,7 +9,8 @@ import pytest
 from helpers import tiny_configs, synth_batch
 
 
-def _train_once(mesh_shape, seed=0, block_type="transformer_fs2"):
+def _train_once(mesh_shape, seed=0, block_type="transformer_fs2",
+                prosody="none"):
     from ctts_tpu.models.comp_trans_tts import CompTransTTS
     from ctts_tpu.parallel.mesh import (make_mesh, shard_batch, shard_params,
                                         check_tp_coverage)
@@ -19,16 +20,29 @@ def _train_once(mesh_shape, seed=0, block_type="transformer_fs2"):
 
     data, model_axis = mesh_shape
     mesh = make_mesh(data=data, model=model_axis)
-    pre, mod, tr = tiny_configs(block_type=block_type)
-    model = CompTransTTS(pre, mod, tr)
-    batch = synth_batch(B=8, T_s=12, T_m=32)
+    if prosody == "none":
+        mode = "train_unsup"
+        pre, mod, tr = tiny_configs(block_type=block_type)
+        batch = synth_batch(B=8, T_s=12, T_m=32)
+    else:
+        # prosody models require supervised durations (ref model.yaml:11,19)
+        mode = "train_sup"
+        pre, mod, tr = tiny_configs(block_type=block_type,
+                                    learn_alignment=False, prosody=prosody,
+                                    pitch_type="frame",
+                                    energy_feature="frame_level")
+        tr["prosody"]["prosody_loss_enable_steps"] = 0   # gate open at step 1
+        batch = synth_batch(B=8, T_s=12, T_m=32, pitch_type="frame",
+                            sup=True)
     kwargs = dict(
         speakers=batch["speakers"], texts=batch["texts"],
-        src_lens=batch["src_lens"], mode="train_unsup",
+        src_lens=batch["src_lens"], mode=mode,
         mels=batch["mels"], mel_lens=batch["mel_lens"],
         pitch_targets=batch["pitch_data"], energy_targets=batch["energies"],
-        duration_targets=None, attn_priors=batch["attn_priors"],
+        duration_targets=batch["durations"],
+        attn_priors=batch["attn_priors"] if mode == "train_unsup" else None,
         step=jnp.zeros((), jnp.int32), deterministic=True)
+    model = CompTransTTS(pre, mod, tr)
     variables = model.init({"params": jax.random.PRNGKey(seed)}, **kwargs)
     tx, _ = build_optimizer(mod, tr)
     with mesh:
@@ -38,7 +52,7 @@ def _train_once(mesh_shape, seed=0, block_type="transformer_fs2"):
         state = create_train_state(variables, tx)
         db = shard_batch({k: v for k, v in batch.items()
                           if k not in ("ids", "raw_texts")}, mesh)
-        step_fn = make_train_step(model, tx, pre, mod, tr, "train_unsup",
+        step_fn = make_train_step(model, tx, pre, mod, tr, mode,
                                   donate=False)
         losses = []
         for _ in range(2):
@@ -55,6 +69,19 @@ def test_tensor_parallel_matches_data_parallel(block_type):
         pytest.skip("needs 8 virtual devices")
     dp = _train_once((8, 1), block_type=block_type)
     tp = _train_once((4, 2), block_type=block_type)
+    np.testing.assert_allclose(dp, tp, rtol=5e-4)
+
+
+@pytest.mark.parametrize("prosody", ["du2021", "liu2021"])
+def test_prosody_tensor_parallel_matches_data_parallel(prosody):
+    """Prosody models (AR-GRU MDN / reference-encoder stacks, replicated
+    params by design — TP shards only the big blocks) through the
+    supervised train step with the prosody loss gate open: the mesh must
+    not change the math, including the BatchNorm batch-pooled stats."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    dp = _train_once((8, 1), prosody=prosody)
+    tp = _train_once((4, 2), prosody=prosody)
     np.testing.assert_allclose(dp, tp, rtol=5e-4)
 
 

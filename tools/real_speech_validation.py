@@ -493,9 +493,10 @@ def cmd_train172(max_steps=None):
         report.append(f"| {s} | {tot:.3f} | {ctc:.3f} | {bl:.3f} "
                       f"| {mel:.3f} |")
     report.append("")
-    fid_ok = _fidelity("LJdemo172", fid_setup, state, report)
 
-    # persist: orbax ckpt (bench.py default path) + packed npz + manifest
+    # persist FIRST (orbax ckpt at bench.py's default path + packed npz +
+    # manifest): a crash in the fidelity pass must never lose the
+    # plateau-trained state (it did once — 70 min of chip time)
     from ctts_tpu.utils.checkpoint import save_checkpoint
     ckpt_dir = os.path.join(_OUT, "LJdemo", "ckpt")
     shutil.rmtree(ckpt_dir, ignore_errors=True)
@@ -503,6 +504,8 @@ def cmd_train172(max_steps=None):
     print(f"checkpoint -> {ckpt_dir}", flush=True)
     if os.environ.get("RSV_PACK", "1") != "0":
         _write_ckpt_manifest("LJdemo", fid_setup, state, steps, hist)
+
+    fid_ok = _fidelity("LJdemo172", fid_setup, state, report)
 
     with open(_REPORT, "a") as f:
         f.write("\n".join(report) + "\n")
@@ -572,6 +575,8 @@ def _fidelity(name, setup, state, report):
     from ctts_tpu.audio.tools import inv_mel_spec_batch
     from scipy.io import wavfile
 
+    from ctts_tpu.parallel.train_step import prep_batch
+
     model, pre = setup["model"], setup["pre"]
     variables = _vars_of(state)
     art_dir = os.path.join(_REPO, "assets", "fidelity", name)
@@ -579,6 +584,10 @@ def _fidelity(name, setup, state, report):
     os.makedirs(art_dir)
 
     def tf_apply(variables, b):
+        # production-config batches ship attn_priors=None
+        # (train.on_device_prior) — compute the prior in-graph exactly
+        # like the train step does (the round-4 e2e-bench crash class)
+        b = prep_batch(b, pre, "train_unsup")
         out, _ = model.apply(
             variables, mutable=["batch_stats"],
             speakers=b["speakers"], texts=b["texts"],

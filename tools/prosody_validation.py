@@ -221,12 +221,16 @@ def _train_prosody(setup, max_steps, log_every=50):
     state, step_fn, batches = (setup["state"], setup["step_fn"],
                                setup["batches"])
     hist, mel_log = [], []
+    # one key for the run — the jitted step fold_ins state.step internally;
+    # per-step PRNGKey(s) creation is an eager dispatch (~160 ms each
+    # through the tunnel, see real_speech_validation._run_training)
+    rng = jax.random.PRNGKey(0)
     t0 = time.time()
     compile_s = None
     s = 0
     while s < max_steps:
         b = batches[s % len(batches)]
-        state, metrics = step_fn(state, b, jax.random.PRNGKey(s))
+        state, metrics = step_fn(state, b, rng)
         if s == 0:
             jax.block_until_ready(metrics["total"])
             compile_s = time.time() - t0

@@ -298,11 +298,16 @@ def _train_setup(name, batch_size=4, store=None):
     raw_batches = list(ds.batches(group_size=1, shuffle=False))
     from ctts_tpu.parallel.train_step import prep_batch
     # fills the beta-binomial prior when the production config runs with
-    # train.on_device_prior (eagerly, once per micro-corpus batch — the
-    # training loop itself reuses these device batches)
-    batches = [prep_batch({k: v for k, v in b.items()
-                           if k not in ("ids", "raw_texts")},
-                          pre, "train_unsup")
+    # train.on_device_prior (eagerly, once per micro-corpus batch), then
+    # device_puts the WHOLE batch: prep_batch only touches dtypes/prior, so
+    # without the explicit put the mels/texts stay host numpy and every
+    # step pays a blocking ~10 MB device_put through the tunnel — measured
+    # 291 ms/step vs ~30 ms with HBM-resident batches (the production loop
+    # avoids this via the device cache, data/device_cache.py)
+    batches = [jax.device_put(
+                   prep_batch({k: v for k, v in b.items()
+                               if k not in ("ids", "raw_texts")},
+                              pre, "train_unsup"))
                for b in raw_batches]
     assert batches, f"no training batches in the {name} micro-corpus"
 
@@ -342,12 +347,18 @@ def _run_training(setup, max_steps, plateau_window=0, plateau_tol=0.02,
     state, step_fn, batches = (setup["state"], setup["step_fn"],
                                setup["batches"])
     hist, mel_log = [], []
+    # ONE key for the whole run: the jitted step fold_ins state.step
+    # internally (parallel/train_step.py:132), so dropout still varies per
+    # step. Creating PRNGKey(s) per step is an EAGER device dispatch each
+    # iteration — through the axon tunnel it cost ~160 ms/step (191.5 vs
+    # 29.2 ms/step in E2E_TRAIN_BENCH.json; TIMING TRAP #4 class).
+    rng = jax.random.PRNGKey(0)
     t0 = time.time()
     compile_s = None
     s = 0
     while s < max_steps:
         b = batches[s % len(batches)]
-        state, metrics = step_fn(state, b, jax.random.PRNGKey(s))
+        state, metrics = step_fn(state, b, rng)
         if s == 0:
             jax.block_until_ready(metrics["total"])
             compile_s = time.time() - t0
@@ -440,7 +451,7 @@ def cmd_train(report, max_steps=None):
         f"**{'PASS' if ok else 'FAIL'}** — the aligner locks onto real "
         "speech, not just synthetic tones.")
 
-    fid_ok = _fidelity(name, setup, state, report)
+    fid_ok, _, _ = _fidelity(name, setup, state, report)
     if os.environ.get("RSV_PACK", "1") != "0":   # RSV_PACK=0: smoke runs
         _write_ckpt_manifest(name, setup, state, steps, hist)
     return ok and fid_ok
@@ -505,13 +516,88 @@ def cmd_train172(max_steps=None):
     if os.environ.get("RSV_PACK", "1") != "0":
         _write_ckpt_manifest("LJdemo", fid_setup, state, steps, hist)
 
-    fid_ok = _fidelity("LJdemo172", fid_setup, state, report)
+    fid_ok, _, _ = _fidelity("LJdemo172", fid_setup, state, report)
 
     with open(_REPORT, "a") as f:
         f.write("\n".join(report) + "\n")
     print(f"appended §5 -> {_REPORT}  fidelity="
           f"{'PASS' if fid_ok else 'FAIL'}")
     return fid_ok
+
+
+def cmd_trend(caps=(2000, 5000)):
+    """Fidelity-vs-steps trend on the 172-utterance store: train ONCE to
+    max(caps) and score metrics-only fidelity at each cap en route (one
+    run with snapshots ≡ separate runs to each cap — same init, same key,
+    same deterministic batch order, so the shorter run is a prefix of the
+    longer). Appends a trend table under §5; never touches the committed
+    plateau artifacts (assets/fidelity/LJdemo172/, packed ckpt)."""
+    import jax
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_train_e2e
+
+    caps = sorted(caps)
+    n = bench_train_e2e.build_store(replicas=43)
+    store = os.path.join(bench_train_e2e._OUT, "preprocessed_data")
+    print(f"store: {n} utterances at {store}", flush=True)
+
+    setup = _train_setup("LJdemo", batch_size=16, store=store)
+    fid_setup = _train_setup("LJdemo", batch_size=4)
+    state, step_fn, batches = (setup["state"], setup["step_fn"],
+                               setup["batches"])
+    rng = jax.random.PRNGKey(0)
+    rows, train_s = [], 0.0
+    t0 = time.time()
+    compile_s = None
+    s = 0
+    for cap in caps:
+        while s < cap:
+            state, metrics = step_fn(state, batches[s % len(batches)], rng)
+            if s == 0:
+                jax.block_until_ready(metrics["total"])
+                compile_s = time.time() - t0
+            if s % 500 == 0:
+                print(f"step {s}: mel={float(metrics['mel']):.3f}",
+                      flush=True)
+            s += 1
+        jax.block_until_ready(state.params)
+        train_s = time.time() - t0
+        scratch = []
+        _, tf_l1, mcd = _fidelity("trend", fid_setup, state, scratch,
+                                  artifacts=False)
+        print(f"cap {cap}: tf_l1={tf_l1:.3f} mcd={mcd:.2f}", flush=True)
+        rows.append((cap, tf_l1, mcd))
+        t0 = time.time() - train_s          # exclude fidelity time
+
+    steady_ms = ((train_s - (compile_s or 0.0)) / max(s - 1, 1)) * 1000
+    report = [
+        "\n### Fidelity vs training steps (trend, fresh run on the same "
+        "172-utterance store)\n",
+        f"One deterministic run (batch 16, fixed key, fixed batch order) "
+        f"scored at step snapshots — each row is what a run stopped at "
+        f"that cap would produce. {steady_ms:.1f} ms/step steady with the "
+        f"hoisted-PRNGKey loop (the §5 plateau run above predates the fix "
+        f"and ran 191.5 ms/step). The step-13301 row is the committed §5 "
+        f"plateau run (different rng stream, same protocol).\n",
+        "| steps | teacher-forced mel L1 | free-running MCD-DTW (dB) |",
+        "|---|---|---|"]
+    for cap, tf_l1, mcd in rows:
+        report.append(f"| {cap} | {tf_l1:.3f} | {mcd:.2f} |")
+    report.append("| 13301 (plateau, §5) | 0.065 | 7.95 |")
+    report.append("")
+    l1s = [r[1] for r in rows] + [0.065]
+    mcds = [r[2] for r in rows] + [7.95]
+    mono = (all(a >= b for a, b in zip(l1s, l1s[1:])) and
+            all(a >= b for a, b in zip(mcds, mcds[1:])))
+    report.append(
+        ("- Both metrics improve monotonically with steps at fixed data — "
+         if mono else
+         "- Metrics vs steps (not strictly monotonic — see table) — ") +
+        "compare §2's 6-utterance run: L1 0.166, MCD-DTW 15.11 dB.")
+    with open(_REPORT, "a") as f:
+        f.write("\n".join(report) + "\n")
+    print(f"appended trend -> {_REPORT}")
+    return True
 
 
 # --------------------------------------------------------------------- #
@@ -560,13 +646,15 @@ def _mcd_dtw(mel_a, mel_b):
     return float(np.sqrt(2.0) * acc[-1, -1] / steps)
 
 
-def _fidelity(name, setup, state, report):
+def _fidelity(name, setup, state, report, artifacts=True):
     """Copy-synthesis fidelity on the training utterances after the
     plateau: teacher-forced (MAS-duration) postnet mel L1 vs ground truth,
     free-running (predicted-duration) MCD-DTW, committed wav/png artifacts
     (griffin-lim — no pretrained neural vocoder weights ship in this
     container). Counterpart of the reference's converged demo outputs
-    (/root/reference/demo/LJSpeech_v0.2.1/900000/)."""
+    (/root/reference/demo/LJSpeech_v0.2.1/900000/). `artifacts=False`
+    computes the metrics only (trend points must not clobber the committed
+    assets/fidelity/<name>/ of the full plateau run)."""
     import jax
     import jax.numpy as jnp
     import matplotlib
@@ -579,9 +667,10 @@ def _fidelity(name, setup, state, report):
 
     model, pre = setup["model"], setup["pre"]
     variables = _vars_of(state)
-    art_dir = os.path.join(_REPO, "assets", "fidelity", name)
-    shutil.rmtree(art_dir, ignore_errors=True)
-    os.makedirs(art_dir)
+    if artifacts:
+        art_dir = os.path.join(_REPO, "assets", "fidelity", name)
+        shutil.rmtree(art_dir, ignore_errors=True)
+        os.makedirs(art_dir)
 
     def tf_apply(variables, b):
         # production-config batches ship attn_priors=None
@@ -631,6 +720,8 @@ def _fidelity(name, setup, state, report):
             mcds.append(mcd)
             rows.append((utt, M, l1, Mi, mcd))
 
+            if not artifacts:
+                continue
             fig, axes = plt.subplots(3, 1, figsize=(10, 7), sharex=False)
             for ax, m, title in zip(
                     axes, (gt, tf_i, inf_mel[i, :Mi]),
@@ -647,7 +738,7 @@ def _fidelity(name, setup, state, report):
         # audio artifacts for the first batch: free-running synthesis and
         # the griffin-lim oracle (GT mel through the same inverse) — the
         # oracle bounds what the mel→wav stage can reconstruct
-        if raw is setup["raw_batches"][0]:
+        if artifacts and raw is setup["raw_batches"][0]:
             sr = pre["preprocessing"]["audio"]["sampling_rate"]
             for i, utt in enumerate(raw["ids"][:2]):
                 M = int(raw["mel_lens"][i])
@@ -680,10 +771,12 @@ def _fidelity(name, setup, state, report):
         f"model (not just the aligner) to convergence on real speech: "
         f"**{'PASS' if ok else 'FAIL'}**. Free-running MCD-DTW "
         f"{mcd_mean:.2f} dB with durations from the trained duration "
-        "head. Wav/png artifacts: `assets/fidelity/" + name + "/` "
-        "(griffin-lim mel inversion; `*_oracle_gtmel.wav` is the "
-        "ground-truth mel through the same inverse — the mel→wav bound).")
-    return ok
+        "head." + (
+            " Wav/png artifacts: `assets/fidelity/" + name + "/` "
+            "(griffin-lim mel inversion; `*_oracle_gtmel.wav` is the "
+            "ground-truth mel through the same inverse — the mel→wav "
+            "bound)." if artifacts else ""))
+    return ok, tf_mean, mcd_mean
 
 
 def _write_ckpt_manifest(name, setup, state, steps, hist):
@@ -820,6 +913,8 @@ def main():
     if what == "train172":
         # standalone append-mode command (never rewrites §1-3)
         sys.exit(0 if cmd_train172() else 1)
+    if what == "trend":
+        sys.exit(0 if cmd_trend() else 1)
     report = [
         "# Real-speech validation",
         "",
